@@ -1,0 +1,470 @@
+"""First-party FITS image I/O (pure numpy, no astropy/fitsio dependency).
+
+Replaces the reference's astropy/fitsio usage (reference utils.py:123-418):
+  - full image reads with NaN->0 and 4D->2D squeeze       (utils.py:193-246)
+  - windowed tile reads WITHOUT loading the full image    (utils.py:340-418,
+    there done via fitsio/cfitsio; here via seek+read of the row range)
+  - header-only reads / image size reads                  (utils.py:150-190)
+  - degenerate 3rd/4th axis stripping                     (utils.py:250-336)
+  - minimal FITS writes                                   (utils.py:126-134)
+
+The windowed read is the hot host-IO path when a mosaic is tiled: each tile
+re-reads its own window (+halo) from disk (reference inference.py:190-195),
+so reads must not scale with mosaic size.  An optional C++ accelerated
+reader (native/) can be layered on top; this module is the portable
+fallback and the format authority.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from caesar_yolo_tpu import logger
+
+FITS_BLOCK = 2880
+
+_BITPIX_DTYPES = {
+    8: np.dtype(">u1"),
+    16: np.dtype(">i2"),
+    32: np.dtype(">i4"),
+    64: np.dtype(">i8"),
+    -32: np.dtype(">f4"),
+    -64: np.dtype(">f8"),
+}
+
+# Header keywords that reference axes 3/4; stripped by strip_deg_axis
+# (mirrors the keyword list at reference utils.py:250-336).
+_DEG_AXIS_KEYS = []
+for _ax in (3, 4):
+    _DEG_AXIS_KEYS += [
+        f"NAXIS{_ax}", f"CTYPE{_ax}", f"CRVAL{_ax}", f"CDELT{_ax}",
+        f"CRPIX{_ax}", f"CUNIT{_ax}", f"CROTA{_ax}",
+    ]
+    for _i in range(1, 5):
+        _DEG_AXIS_KEYS += [
+            f"PC{_i}_{_ax}", f"PC0{_i}_0{_ax}",
+            f"PC{_ax}_{_i}", f"PC0{_ax}_0{_i}",
+        ]
+
+
+class FitsHeader(dict):
+    """FITS header as a dict of KEY -> value with insertion order preserved.
+
+    COMMENT/HISTORY cards are accumulated into lists. Keys are uppercase.
+    """
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.comments: list[str] = []
+        self.history: list[str] = []
+
+    def copy(self) -> "FitsHeader":
+        h = FitsHeader(self)
+        h.comments = list(self.comments)
+        h.history = list(self.history)
+        return h
+
+
+def _parse_card_value(raw: str):
+    """Parse the value field of a FITS header card."""
+    raw = raw.strip()
+    if not raw:
+        return None
+    if raw.startswith("'"):
+        # String value: ends at closing single quote ('' escapes a quote)
+        out, i = [], 1
+        while i < len(raw):
+            c = raw[i]
+            if c == "'":
+                if i + 1 < len(raw) and raw[i + 1] == "'":
+                    out.append("'")
+                    i += 2
+                    continue
+                break
+            out.append(c)
+            i += 1
+        return "".join(out).rstrip()
+    if raw == "T":
+        return True
+    if raw == "F":
+        return False
+    try:
+        if any(c in raw for c in ".EeDd") and not raw.lstrip("+-").isdigit():
+            return float(raw.replace("D", "E").replace("d", "e"))
+        return int(raw)
+    except ValueError:
+        return raw
+
+
+def parse_header(block_iter) -> tuple[FitsHeader, int]:
+    """Parse header cards from an iterator of 2880-byte blocks.
+
+    Returns (header, nblocks_consumed).
+    """
+    header = FitsHeader()
+    nblocks = 0
+    done = False
+    for block in block_iter:
+        nblocks += 1
+        for i in range(0, FITS_BLOCK, 80):
+            card = block[i:i + 80].decode("ascii", errors="replace")
+            key = card[:8].strip()
+            if key == "END":
+                done = True
+                break
+            if key in ("COMMENT", "HISTORY", ""):
+                text = card[8:].strip()
+                if key == "COMMENT":
+                    header.comments.append(text)
+                elif key == "HISTORY":
+                    header.history.append(text)
+                continue
+            if card[8:10] != "= ":
+                continue  # commentary-style card without value indicator
+            body = card[10:]
+            # Trim inline comment (a '/' outside any quoted string)
+            in_str = False
+            cut = len(body)
+            j = 0
+            while j < len(body):
+                c = body[j]
+                if c == "'":
+                    if in_str and j + 1 < len(body) and body[j + 1] == "'":
+                        j += 2
+                        continue
+                    in_str = not in_str
+                elif c == "/" and not in_str:
+                    cut = j
+                    break
+                j += 1
+            header[key] = _parse_card_value(body[:cut])
+        if done:
+            break
+    if not done:
+        raise ValueError("FITS header END card not found")
+    return header, nblocks
+
+
+def _read_header_from_file(f) -> tuple[FitsHeader, int]:
+    """Read header from an open binary file; returns (header, data_offset)."""
+
+    def blocks():
+        while True:
+            b = f.read(FITS_BLOCK)
+            if len(b) < FITS_BLOCK:
+                raise ValueError("Truncated FITS header")
+            yield b
+
+    header, nblocks = parse_header(blocks())
+    return header, nblocks * FITS_BLOCK
+
+
+def get_fits_header(filename: str) -> FitsHeader | None:
+    """Read the primary FITS header (reference utils.py:150-164)."""
+    try:
+        with open(filename, "rb") as f:
+            header, _ = _read_header_from_file(f)
+        return header
+    except Exception as e:
+        logger.error("Cannot read image file: %s (err=%s)", filename, str(e))
+        return None
+
+
+def get_fits_size(filename: str):
+    """Return (nx, ny) from NAXIS1/NAXIS2 (reference utils.py:167-190)."""
+    header = get_fits_header(filename)
+    if header is None:
+        return None
+    if "NAXIS1" not in header:
+        logger.error("NAXIS1 keyword missing in header!")
+        return None
+    if "NAXIS2" not in header:
+        logger.error("NAXIS2 keyword missing in header!")
+        return None
+    return header["NAXIS1"], header["NAXIS2"]
+
+
+def strip_deg_axis_from_header(header: FitsHeader) -> FitsHeader:
+    """Remove 3rd/4th-axis keywords and set NAXIS=2 (ref utils.py:250-336)."""
+    for key in _DEG_AXIS_KEYS:
+        header.pop(key, None)
+    header["NAXIS"] = 2
+    return header
+
+
+def _axis_info(header: FitsHeader):
+    naxis = int(header.get("NAXIS", 0))
+    dims = [int(header[f"NAXIS{i}"]) for i in range(1, naxis + 1)]
+    bitpix = int(header["BITPIX"])
+    dtype = _BITPIX_DTYPES.get(bitpix)
+    if dtype is None:
+        raise ValueError(f"Unsupported BITPIX {bitpix}")
+    return dims, dtype
+
+
+def _apply_scaling(data: np.ndarray, header: FitsHeader) -> np.ndarray:
+    bscale = float(header.get("BSCALE", 1.0))
+    bzero = float(header.get("BZERO", 0.0))
+    data = data.astype(np.float32 if data.dtype.itemsize <= 4 else np.float64)
+    if bscale != 1.0 or bzero != 0.0:
+        data = data * bscale + bzero
+    return data
+
+
+def read_fits(filename: str, strip_deg_axis: bool = False):
+    """Read a full FITS image; squeeze 4D->2D, NaN->0 (ref utils.py:193-246).
+
+    Returns (data[f32/f64 2D], header, wcs) or None on failure.
+    """
+    try:
+        with open(filename, "rb") as f:
+            header, data_off = _read_header_from_file(f)
+            dims, dtype = _axis_info(header)
+            nchan = len(dims)
+            count = int(np.prod(dims)) if dims else 0
+            f.seek(data_off)
+            raw = np.fromfile(f, dtype=dtype, count=count)
+            if raw.size != count:
+                raise ValueError(
+                    f"truncated data section ({raw.size}/{count} values)")
+            # FITS axis order: NAXIS1 fastest -> numpy shape reversed(dims)
+            raw = raw.reshape(tuple(reversed(dims)))
+    except Exception as e:
+        logger.error("Cannot read image file: %s (err=%s)", filename, str(e))
+        return None
+    if nchan == 4:
+        out = raw[0, 0, :, :]
+    elif nchan == 2:
+        out = raw
+    else:
+        logger.error(
+            "Invalid/unsupported number of channels found in file %s (nchan=%d)!",
+            filename, nchan)
+        return None
+
+    out = _apply_scaling(out, header)
+    out[~np.isfinite(out)] = 0
+
+    if strip_deg_axis:
+        header = strip_deg_axis_from_header(header)
+    return out, header, Wcs.from_header(header)
+
+
+def read_fits_crop(filename: str, ixmin: int, ixmax: int, iymin: int,
+                   iymax: int, strip_deg_axis: bool = False):
+    """Read a window [iymin:iymax, ixmin:ixmax) without loading the image.
+
+    Mirrors reference utils.py:340-418 (fitsio windowed read): xmax/ymax
+    excluded; all-(-1|0) ranges read the full image. Row-contiguous chunks
+    are read with a single seek per row range.
+    """
+    read_full = all(v in (0, -1) for v in (ixmin, ixmax, iymin, iymax))
+    if read_full:
+        logger.warning(
+            "Reading entire image as given image ranges are all <=0 "
+            "(not an error if this is the user intention)...")
+        return read_fits(filename, strip_deg_axis)
+
+    if ixmin < 0 or ixmax < 0:
+        logger.error("ixmin/ixmax must be >0")
+        return None
+    if iymin < 0 or iymax < 0:
+        logger.error("iymin/iymax must be >0")
+        return None
+    if ixmax <= ixmin:
+        logger.error("ixmax must be >ixmin!")
+        return None
+    if iymax <= iymin:
+        logger.error("iymax must be >iymin!")
+        return None
+
+    try:
+        with open(filename, "rb") as f:
+            header, data_off = _read_header_from_file(f)
+            dims, dtype = _axis_info(header)
+            nchan = len(dims)
+            if nchan == 4:
+                if dims[2] != 1 or dims[3] != 1:
+                    logger.error(
+                        "4D FITS with non-degenerate 3rd/4th axes unsupported "
+                        "in windowed read (file %s)", filename)
+                    return None
+                nx, ny = dims[0], dims[1]
+            elif nchan == 2:
+                nx, ny = dims[0], dims[1]
+            else:
+                logger.error(
+                    "Invalid/unsupported number of channels (nchan=%d) found "
+                    "in file %s!", nchan, filename)
+                return None
+            if ixmax > nx or iymax > ny:
+                logger.error(
+                    "Failed to read data in range[%d:%d,%d:%d] from file %s "
+                    "(out of bounds %dx%d)!",
+                    iymin, iymax, ixmin, ixmax, filename, nx, ny)
+                return None
+            itemsize = dtype.itemsize
+            h = iymax - iymin
+            w = ixmax - ixmin
+            if w == nx:
+                # Full-width rows: one contiguous read
+                f.seek(data_off + iymin * nx * itemsize)
+                data = np.fromfile(f, dtype=dtype, count=h * nx)
+                data = data.reshape(h, nx)
+            else:
+                data = np.empty((h, w), dtype=dtype)
+                for j in range(h):
+                    f.seek(data_off + ((iymin + j) * nx + ixmin) * itemsize)
+                    data[j] = np.fromfile(f, dtype=dtype, count=w)
+    except Exception as e:
+        logger.error(
+            "Failed to read data in range[%d:%d,%d:%d] from file %s (err=%s)!",
+            iymin, iymax, ixmin, ixmax, filename, str(e))
+        return None
+
+    data = _apply_scaling(data, header)
+    data[~np.isfinite(data)] = 0
+
+    if strip_deg_axis:
+        header = strip_deg_axis_from_header(header)
+    return data, header, Wcs.from_header(header)
+
+
+def _format_card(key: str, value) -> bytes:
+    if isinstance(value, bool):
+        v = "T" if value else "F"
+        card = f"{key:<8}= {v:>20}"
+    elif isinstance(value, (int, np.integer)):
+        card = f"{key:<8}= {int(value):>20}"
+    elif isinstance(value, (float, np.floating)):
+        card = f"{key:<8}= {float(value):>20.13G}"
+    elif value is None:
+        card = f"{key:<8}="
+    else:
+        s = str(value).replace("'", "''")
+        card = f"{key:<8}= '{s:<8}'"
+    return card.ljust(80)[:80].encode("ascii")
+
+
+def write_fits(data: np.ndarray, filename: str, header: FitsHeader | None = None):
+    """Write a minimal primary-HDU FITS image (reference utils.py:126-134)."""
+    data = np.asarray(data)
+    if data.dtype == np.float64:
+        bitpix, dtype = -64, np.dtype(">f8")
+    else:
+        bitpix, dtype = -32, np.dtype(">f4")
+        data = data.astype(np.float32)
+
+    cards = [
+        _format_card("SIMPLE", True),
+        _format_card("BITPIX", bitpix),
+        _format_card("NAXIS", data.ndim),
+    ]
+    for i, n in enumerate(reversed(data.shape)):
+        cards.append(_format_card(f"NAXIS{i+1}", n))
+    skip = {"SIMPLE", "BITPIX", "NAXIS", "EXTEND", "BSCALE", "BZERO"}
+    skip |= {f"NAXIS{i}" for i in range(1, 8)}
+    if header:
+        for key, value in header.items():
+            if key in skip:
+                continue
+            cards.append(_format_card(key, value))
+    cards.append("END".ljust(80).encode("ascii"))
+    head = b"".join(cards)
+    head += b" " * (-len(head) % FITS_BLOCK)
+
+    body = data.astype(dtype).tobytes()
+    body += b"\x00" * (-len(body) % FITS_BLOCK)
+    with open(filename, "wb") as f:
+        f.write(head)
+        f.write(body)
+
+
+@dataclass
+class Wcs:
+    """Minimal linear WCS: pixel <-> world for 2 celestial axes.
+
+    The reference builds a full astropy WCS (utils.py:233-242) but the
+    detection path only ever carries it around; a linear CRPIX/CRVAL/CDELT
+    transform covers catalog needs.  Pixel coords are 0-based.
+    """
+
+    crpix: tuple = (1.0, 1.0)
+    crval: tuple = (0.0, 0.0)
+    cdelt: tuple = (1.0, 1.0)
+    ctype: tuple = ("", "")
+
+    @classmethod
+    def from_header(cls, header: FitsHeader | None):
+        if header is None:
+            return None
+        try:
+            return cls(
+                crpix=(float(header.get("CRPIX1", 1.0)),
+                       float(header.get("CRPIX2", 1.0))),
+                crval=(float(header.get("CRVAL1", 0.0)),
+                       float(header.get("CRVAL2", 0.0))),
+                cdelt=(float(header.get("CDELT1", 1.0)),
+                       float(header.get("CDELT2", 1.0))),
+                ctype=(str(header.get("CTYPE1", "")),
+                       str(header.get("CTYPE2", ""))),
+            )
+        except Exception as e:
+            logger.warning("Failed to get wcs from header (err=%s)!", str(e))
+            return None
+
+    def pixel_to_world(self, x, y):
+        return (self.crval[0] + (np.asarray(x) + 1 - self.crpix[0]) * self.cdelt[0],
+                self.crval[1] + (np.asarray(y) + 1 - self.crpix[1]) * self.cdelt[1])
+
+    def world_to_pixel(self, ra, dec):
+        return ((np.asarray(ra) - self.crval[0]) / self.cdelt[0] + self.crpix[0] - 1,
+                (np.asarray(dec) - self.crval[1]) / self.cdelt[1] + self.crpix[1] - 1)
+
+
+def beam_area_from_header(header: FitsHeader):
+    """Compute beam area in pixels (reference inference.py:430-470).
+
+    Returns dict with dx, dy, bmaj, bmin, pa, pixel_area, beam_area; or
+    None when any of CDELT1/2, BMAJ, BMIN, BPA is missing.
+    """
+    for key in ("CDELT1", "CDELT2", "BMAJ", "BMIN", "BPA"):
+        if key not in header:
+            logger.warning("%s keyword missing in header!", key)
+            return None
+    dx = float(header["CDELT1"])
+    dy = float(header["CDELT2"])
+    bmaj = float(header["BMAJ"])
+    bmin = float(header["BMIN"])
+    pa = float(header["BPA"])
+    pixel_area = abs(dx * dy)
+    a = np.pi * bmaj * bmin / (4 * np.log(2))
+    return {
+        "dx": dx, "dy": dy, "bmaj": bmaj, "bmin": bmin, "pa": pa,
+        "pixel_area": pixel_area, "beam_area": a / pixel_area,
+    }
+
+
+def read_image(filename: str):
+    """Read FITS or PNG/JPG image (reference inference.py:498-523).
+
+    PNG/JPG alpha channels are stripped. Returns (data, header_or_None).
+    """
+    ext = os.path.splitext(filename)[1].lower()
+    if ext == ".fits":
+        res = read_fits_crop(filename, -1, -1, -1, -1, strip_deg_axis=True)
+        if res is None:
+            return None
+        data, header, _ = res
+        return data, header
+    if ext in (".png", ".jpg", ".jpeg"):
+        import matplotlib.pyplot as plt
+        data = plt.imread(filename)
+        if data.ndim == 3 and data.shape[2] == 4:
+            data = data[:, :, :3]
+        return data, None
+    logger.error("Unsupported image format (%s) given!", ext)
+    return None

@@ -1,0 +1,32 @@
+"""Test configuration: force an 8-device virtual CPU mesh.
+
+This is the TPU analog of the reference's "mpirun -np 4 on localhost"
+multi-node-without-a-cluster strategy (reference test/run_inference_parallel.sh):
+sharding/collective code paths are exercised on 8 virtual CPU devices.
+Must run before jax initializes its backends.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+REFERENCE_FITS = "/root/reference/test/galaxy0001.fits"
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(42)
+
+
+@pytest.fixture
+def galaxy_fits_path():
+    if not os.path.exists(REFERENCE_FITS):
+        pytest.skip("reference galaxy0001.fits not available")
+    return REFERENCE_FITS

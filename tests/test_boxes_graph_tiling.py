@@ -1,0 +1,152 @@
+"""Box math, union-find, and tile-grid tests (vs reference semantics)."""
+
+import numpy as np
+import pytest
+
+from caesar_yolo_tpu.utils import boxes, tiling, unionfind
+
+
+# ---------------- IoU ----------------
+
+def _iou_ref(bb1, bb2):
+    """Straight re-derivation of IoU for cross-checking."""
+    xl, yt = max(bb1[0], bb2[0]), max(bb1[1], bb2[1])
+    xr, yb = min(bb1[2], bb2[2]), min(bb1[3], bb2[3])
+    if xr < xl or yb < yt:
+        return 0.0
+    inter = (xr - xl) * (yb - yt)
+    a1 = (bb1[2] - bb1[0]) * (bb1[3] - bb1[1])
+    a2 = (bb2[2] - bb2[0]) * (bb2[3] - bb2[1])
+    return inter / (a1 + a2 - inter)
+
+
+def test_get_iou_values(rng):
+    for _ in range(200):
+        b1 = np.sort(rng.uniform(0, 100, 4)).astype(float)
+        b2 = np.sort(rng.uniform(0, 100, 4)).astype(float)
+        bb1 = [b1[0], b1[1], b1[2], b1[3]]
+        bb2 = [b2[0], b2[1], b2[2], b2[3]]
+        # sort gives x1<y1<x2<y2 -> valid boxes with x1<x2, y1<y2
+        assert boxes.get_iou(bb1, bb2) == pytest.approx(_iou_ref(bb1, bb2))
+
+
+def test_iou_matrix_np_vs_scalar(rng):
+    bs = []
+    for _ in range(20):
+        x1, y1 = rng.uniform(0, 50, 2)
+        w, h = rng.uniform(1, 30, 2)
+        bs.append([x1, y1, x1 + w, y1 + h])
+    bs = np.array(bs)
+    m = boxes.iou_matrix_np(bs, bs)
+    for i in range(20):
+        for j in range(20):
+            assert m[i, j] == pytest.approx(_iou_ref(bs[i], bs[j]))
+
+
+def test_iou_matrix_jnp_matches_np(rng):
+    bs = rng.uniform(0, 50, (15, 2))
+    wh = rng.uniform(1, 30, (15, 2))
+    b = np.concatenate([bs, bs + wh], axis=1)
+    np.testing.assert_allclose(
+        np.asarray(boxes.iou_matrix(b, b)), boxes.iou_matrix_np(b, b),
+        rtol=1e-4, atol=1e-6)
+
+
+def test_merged_bbox():
+    bb = [(0, 1, 4, 5), (2, 0, 3, 7), (-1, 2, 2, 3)]
+    assert boxes.get_merged_bbox(bb) == (-1, 0, 4, 7)
+
+
+def test_xywh_roundtrip(rng):
+    x = rng.uniform(0, 100, (7, 4))
+    out = np.asarray(boxes.xyxy2xywh(boxes.xywh2xyxy(x)))
+    np.testing.assert_allclose(out, x, rtol=1e-6)
+
+
+# ---------------- union-find ----------------
+
+def test_connected_components_basic():
+    cc = unionfind.connected_components(6, [(0, 1), (1, 2), (4, 5)])
+    assert cc == [[0, 1, 2], [3], [4, 5]]
+
+
+def test_connected_components_adjacency_matrix():
+    adj = np.zeros((5, 5), dtype=bool)
+    adj[0, 3] = adj[3, 0] = True
+    adj[1, 2] = adj[2, 1] = True
+    cc = unionfind.connected_components(5, adj)
+    assert cc == [[0, 3], [1, 2], [4]]
+
+
+def test_connected_components_large_chain():
+    # The reference's recursive DFS would hit the recursion limit here
+    n = 5000
+    edges = [(i, i + 1) for i in range(n - 1)]
+    cc = unionfind.connected_components(n, edges)
+    assert len(cc) == 1 and len(cc[0]) == n
+
+
+# ---------------- tile grid ----------------
+
+def test_generate_tiles_no_overlap():
+    # 0..255 inclusive (256 px), 128-tiles, step 1 -> 2x2 grid
+    tiles = tiling.generate_tiles(0, 255, 0, 255, 128, 128, 1.0, 1.0)
+    assert tiles == [
+        (0, 128, 0, 128), (128, 256, 0, 128),
+        (0, 128, 128, 256), (128, 256, 128, 256),
+    ]
+
+
+def test_generate_tiles_truncated_edges():
+    tiles = tiling.generate_tiles(0, 299, 0, 199, 128, 128, 1.0, 1.0)
+    xs = {(t[0], t[1]) for t in tiles}
+    ys = {(t[2], t[3]) for t in tiles}
+    assert (256, 300) in xs  # truncated right edge
+    assert (128, 200) in ys  # truncated top edge
+    assert len(tiles) == 6
+
+
+def test_generate_tiles_overlap_step():
+    tiles = tiling.generate_tiles(0, 255, 0, 255, 128, 128, 0.5, 0.5)
+    # step 64: xmins 0,64,128,192 -> 4x4
+    assert len(tiles) == 16
+    assert tiles[1][0] - tiles[0][0] == 64
+
+
+def test_generate_tiles_offset_origin():
+    tiles = tiling.generate_tiles(100, 355, 50, 305, 128, 128, 1.0, 1.0)
+    assert tiles[0] == (100, 228, 50, 178)
+
+
+def test_generate_tiles_invalid():
+    assert tiling.generate_tiles(10, 5, 0, 10, 4, 4, 1, 1) is None
+    assert tiling.generate_tiles(0, 10, 0, 10, 0, 4, 1, 1) is None
+    assert tiling.generate_tiles(0, 10, 0, 10, 4, 4, 0, 1) is None
+    assert tiling.generate_tiles(0, 10, 0, 10, 4, 4, 1.5, 1) is None
+    assert tiling.generate_tiles(0, 10, 0, 10, 64, 64, 1, 1) is None
+
+
+def test_tile_neighbors():
+    tiles = tiling.make_tile_windows(
+        tiling.generate_tiles(0, 255, 0, 255, 128, 128, 1.0, 1.0))
+    nbrs = tiling.neighbor_table(tiles)
+    # 2x2 grid: everyone neighbors everyone that shares an edge; the
+    # reference's adjacency also catches the diagonal via overlap=False,
+    # adjacent requires both axes adjacency -> diagonal IS adjacent
+    # ((xmax==xmin-1 fails, but equal-extent clause passes only when
+    # aligned). Check concrete expectations:
+    t00, t10, t01, t11 = tiles
+    assert t00.is_adjacent(t10) is False  # xmax=128 vs xmin=128 -> not 127
+    assert t00.is_overlapping(t10) is True  # touching edge counts (<=)
+    assert all(sorted(n) == sorted([t.tid for t in tiles if t.tid != i])
+               for i, n in enumerate(nbrs))
+
+
+def test_tile_overlap_predicates():
+    a = tiling.TileWindow(0, 100, 0, 100)
+    b = tiling.TileWindow(101, 200, 0, 100)   # 1px gap in x -> adjacent
+    c = tiling.TileWindow(150, 250, 150, 250)  # far -> nothing
+    assert a.is_adjacent(b)
+    assert not a.is_overlapping(b)
+    assert a.is_neighbor(b)
+    assert not a.is_neighbor(c)

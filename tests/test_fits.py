@@ -1,0 +1,138 @@
+"""FITS I/O tests: header parse, full/windowed reads, round-trip writes."""
+
+import numpy as np
+import pytest
+
+from caesar_yolo_tpu.utils import fits as cfits
+
+
+def test_header_parse_galaxy(galaxy_fits_path):
+    header = cfits.get_fits_header(galaxy_fits_path)
+    assert header is not None
+    assert header["SIMPLE"] is True
+    assert header["BITPIX"] == -32
+    assert header["NAXIS"] == 2
+    assert header["NAXIS1"] == 132
+    assert header["NAXIS2"] == 132
+    assert header["CTYPE1"] == "Jy/beam"
+    assert header["BMAJ"] == pytest.approx(0.002611826449586)
+    assert header["BPA"] == pytest.approx(84.46066805677)
+    assert len(header.comments) == 2
+
+
+def test_get_fits_size(galaxy_fits_path):
+    assert cfits.get_fits_size(galaxy_fits_path) == (132, 132)
+
+
+def test_read_full(galaxy_fits_path):
+    data, header, wcs = cfits.read_fits(galaxy_fits_path)
+    assert data.shape == (132, 132)
+    assert data.dtype == np.float32
+    assert np.all(np.isfinite(data))
+    assert data.std() > 0
+
+
+def test_windowed_read_matches_full(galaxy_fits_path):
+    full, _, _ = cfits.read_fits(galaxy_fits_path)
+    crop, header, _ = cfits.read_fits_crop(galaxy_fits_path, 10, 50, 20, 60)
+    assert crop.shape == (40, 40)
+    np.testing.assert_array_equal(crop, full[20:60, 10:50])
+
+
+def test_windowed_read_full_width(galaxy_fits_path):
+    full, _, _ = cfits.read_fits(galaxy_fits_path)
+    crop, _, _ = cfits.read_fits_crop(galaxy_fits_path, 0, 132, 5, 25)
+    np.testing.assert_array_equal(crop, full[5:25, :])
+
+
+def test_windowed_read_all_negative_reads_full(galaxy_fits_path):
+    res = cfits.read_fits_crop(galaxy_fits_path, -1, -1, -1, -1)
+    data, _, _ = res
+    assert data.shape == (132, 132)
+
+
+def test_windowed_read_invalid_ranges(galaxy_fits_path):
+    assert cfits.read_fits_crop(galaxy_fits_path, 50, 10, 0, 10) is None
+    assert cfits.read_fits_crop(galaxy_fits_path, -5, 10, 0, 10) is None
+    assert cfits.read_fits_crop(galaxy_fits_path, 0, 10, 0, 500) is None
+
+
+def test_write_read_roundtrip(tmp_path, rng):
+    data = rng.normal(size=(48, 64)).astype(np.float32)
+    data[3, 7] = np.nan
+    path = str(tmp_path / "rt.fits")
+    header = cfits.FitsHeader({"BMAJ": 0.001, "OBJECT": "testsrc"})
+    cfits.write_fits(data, path, header)
+
+    out, hdr2, _ = cfits.read_fits(path)
+    assert out.shape == (48, 64)
+    assert hdr2["BMAJ"] == pytest.approx(0.001)
+    assert hdr2["OBJECT"] == "testsrc"
+    # NaNs are zeroed on read (reference utils.py:219)
+    assert out[3, 7] == 0
+    mask = np.isfinite(data)
+    np.testing.assert_allclose(out[mask], data[mask], rtol=1e-6)
+
+
+def test_write_4d_and_degenerate_squeeze(tmp_path, rng):
+    data2d = rng.normal(size=(16, 20)).astype(np.float32)
+    path = str(tmp_path / "cube.fits")
+    cfits.write_fits(data2d[None, None], path)
+    out, header, _ = cfits.read_fits(path, strip_deg_axis=True)
+    assert out.shape == (16, 20)
+    assert header["NAXIS"] == 2
+    assert "NAXIS3" not in header
+    np.testing.assert_allclose(out, data2d, rtol=1e-6)
+    # windowed read on the 4D file
+    crop, _, _ = cfits.read_fits_crop(path, 2, 10, 4, 12)
+    np.testing.assert_allclose(crop, data2d[4:12, 2:10], rtol=1e-6)
+
+
+def test_int16_bscale(tmp_path):
+    # Hand-build an int16 FITS with BSCALE/BZERO
+    raw = np.arange(-8, 8, dtype=">i2").reshape(4, 4)
+    cards = [
+        b"SIMPLE  =                    T" + b" " * 50,
+        b"BITPIX  =                   16" + b" " * 50,
+        b"NAXIS   =                    2" + b" " * 50,
+        b"NAXIS1  =                    4" + b" " * 50,
+        b"NAXIS2  =                    4" + b" " * 50,
+        b"BSCALE  =                  2.0" + b" " * 50,
+        b"BZERO   =                 10.0" + b" " * 50,
+        b"END" + b" " * 77,
+    ]
+    head = b"".join(cards)
+    head += b" " * (-len(head) % 2880)
+    body = raw.tobytes()
+    body += b"\x00" * (-len(body) % 2880)
+    path = str(tmp_path / "i16.fits")
+    with open(path, "wb") as f:
+        f.write(head + body)
+    out, _, _ = cfits.read_fits(path)
+    np.testing.assert_allclose(out, raw.astype(np.float32) * 2.0 + 10.0)
+
+
+def test_strip_deg_axis_keys():
+    h = cfits.FitsHeader({
+        "NAXIS": 4, "NAXIS1": 10, "NAXIS2": 10, "NAXIS3": 1, "NAXIS4": 1,
+        "CTYPE3": "FREQ", "CRVAL4": 1.0, "PC3_1": 0.0, "PC01_03": 0.0,
+        "CDELT1": 0.1,
+    })
+    out = cfits.strip_deg_axis_from_header(h)
+    assert out["NAXIS"] == 2
+    for key in ("NAXIS3", "NAXIS4", "CTYPE3", "CRVAL4", "PC3_1", "PC01_03"):
+        assert key not in out
+    assert out["CDELT1"] == 0.1
+
+
+def test_beam_area(galaxy_fits_path):
+    header = cfits.get_fits_header(galaxy_fits_path)
+    # galaxy0001.fits lacks CDELT1/2 -> no beam area (matches reference
+    # compute_beam_area=False path, inference.py:435-445)
+    assert cfits.beam_area_from_header(header) is None
+    header["CDELT1"] = -2.777778e-4
+    header["CDELT2"] = 2.777778e-4
+    info = cfits.beam_area_from_header(header)
+    expected_a = np.pi * header["BMAJ"] * header["BMIN"] / (4 * np.log(2))
+    assert info["beam_area"] == pytest.approx(
+        expected_a / abs(header["CDELT1"] * header["CDELT2"]))
