@@ -1,0 +1,34 @@
+"""Histogram equalization as fixed-shape JAX.
+
+Mirrors skimage.exposure.equalize_hist used by the reference
+(preprocessing.py:1004): histogram of the full channel over its own value
+range (nbins=256), normalized CDF, linear interpolation of pixel values at
+histogram bin centers.  Output lands in [0, 1].
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+@partial(jax.jit, static_argnames=("nbins",))
+def equalize_hist(values: jnp.ndarray, nbins: int = 256) -> jnp.ndarray:
+    """Equalize value histogram; returns float32 in [0, 1]."""
+    flat = values.reshape(-1).astype(jnp.float32)
+    vmin = jnp.min(flat)
+    vmax = jnp.max(flat)
+    span = jnp.where(vmax > vmin, vmax - vmin, 1.0)
+    # Bucketize: bin i covers [vmin + i*span/nbins, vmin + (i+1)*span/nbins)
+    # with the top edge inclusive (numpy histogram convention).
+    scaled = (flat - vmin) / span * nbins
+    bin_idx = jnp.clip(scaled.astype(jnp.int32), 0, nbins - 1)
+    hist = jnp.zeros((nbins,), jnp.float32).at[bin_idx].add(1.0)
+    cdf = jnp.cumsum(hist)
+    cdf = cdf / cdf[-1]
+    edges = vmin + jnp.arange(nbins + 1, dtype=jnp.float32) * (span / nbins)
+    centers = 0.5 * (edges[:-1] + edges[1:])
+    out = jnp.interp(flat, centers, cdf)
+    return out.reshape(values.shape)

@@ -1,0 +1,595 @@
+"""Preprocessing transforms as pure, jit-able JAX functions.
+
+Functional re-design of the reference's 20 transform classes
+(reference preprocessing.py:75-1133).  Every transform is a factory
+returning a pure function
+
+    fn(data[H, W, C] float32) -> (data'[H, W, C'], valid: bool scalar)
+
+obeying the reference masking convention: pixels that are exactly 0 or
+non-finite are excluded from statistics and restored to 0 afterwards
+(e.g. reference preprocessing.py:99-108).  `valid=False` marks inputs on
+which the reference implementation would have returned None (empty mask,
+non-positive channel maxima, ...); the host checks it before prediction,
+mirroring the reference's no-prediction paths (evaluation.py:164-176).
+
+Shapes are static under jit; per-channel Python loops unroll at trace
+time.  A whole pipeline composes into ONE jitted computation, so XLA
+fuses the elementwise chains — the TPU-native replacement for the
+reference's one-full-image-copy-per-stage numpy passes.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from caesar_yolo_tpu.ops.histeq import equalize_hist
+from caesar_yolo_tpu.ops.stats import (
+    masked_max,
+    masked_min,
+    sigma_clip_bounds,
+    sigma_clipped_stats,
+)
+from caesar_yolo_tpu.ops.zscale import zscale_transform
+
+Transform = Callable[[jnp.ndarray], tuple[jnp.ndarray, jnp.ndarray]]
+
+TRUE = jnp.bool_(True)
+
+
+def valid_mask(x: jnp.ndarray) -> jnp.ndarray:
+    """The masking convention: pixel participates iff !=0 and finite."""
+    return (x != 0) & jnp.isfinite(x)
+
+
+def center_box_slices(h: int, w: int, fract: float):
+    """Center-box bounds used by mask-box options (ref preprocessing.py:204-215)."""
+    xc, yc = int(w / 2), int(h / 2)
+    dy, dx = int(h * fract / 2.0), int(w * fract / 2.0)
+    return yc - dy, yc + dy, xc - dx, xc + dx
+
+
+def center_box_mask(h: int, w: int, fract: float) -> jnp.ndarray:
+    y0, y1, x0, x1 = center_box_slices(h, w, fract)
+    m = jnp.zeros((h, w), dtype=bool)
+    return m.at[y0:y1, x0:x1].set(True)
+
+
+def _per_channel(data, fn):
+    """Apply fn(channel_2d) -> (channel_2d, valid) over the last axis."""
+    outs, valids = [], []
+    for i in range(data.shape[-1]):
+        o, v = fn(data[:, :, i], i)
+        outs.append(o)
+        valids.append(v)
+    valid = valids[0]
+    for v in valids[1:]:
+        valid = valid & v
+    return jnp.stack(outs, axis=-1), valid
+
+
+# ---------------------------------------------------------------------------
+# Normalizers / scalers
+# ---------------------------------------------------------------------------
+
+def min_max_normalizer(norm_min: float = 0.0, norm_max: float = 1.0) -> Transform:
+    """Per-channel min-max normalization (ref preprocessing.py:75-111)."""
+
+    def fn(data):
+        def ch(x, _):
+            cond = valid_mask(x)
+            n = jnp.sum(cond)
+            lo = masked_min(x, cond)
+            hi = masked_max(x, cond)
+            span = hi - lo
+            out = (x - lo) / jnp.where(span != 0, span, 1.0) \
+                * (norm_max - norm_min) + norm_min
+            out = jnp.where(cond, out, 0.0)
+            return out, (n > 0) & (span != 0)
+        return _per_channel(data, ch)
+
+    return fn
+
+
+def abs_min_max_normalizer(norm_min: float = 0.0, norm_max: float = 1.0) -> Transform:
+    """All-channel min-max normalization (ref preprocessing.py:116-145)."""
+
+    def fn(data):
+        cond = valid_mask(data)
+        lo = masked_min(data, cond)
+        hi = masked_max(data, cond)
+        span = hi - lo
+        out = (data - lo) / jnp.where(span != 0, span, 1.0) \
+            * (norm_max - norm_min) + norm_min
+        out = jnp.where(cond, out, 0.0)
+        return out, (jnp.sum(cond) > 0) & (span != 0)
+
+    return fn
+
+
+def max_scaler() -> Transform:
+    """Divide each channel by its own masked max (ref preprocessing.py:152-176)."""
+
+    def fn(data):
+        cond = valid_mask(data)
+        mx = masked_max(data, cond, axis=(0, 1))
+        out = data / jnp.where(mx != 0, mx, 1.0)
+        out = jnp.where(cond, out, 0.0)
+        return out, jnp.all(jnp.sum(cond, axis=(0, 1)) > 0)
+
+    return fn
+
+
+def abs_max_scaler(use_mask_box: bool = False, mask_fract: float = 0.5) -> Transform:
+    """Divide by global masked max, optionally within a center box
+    (ref preprocessing.py:182-226)."""
+
+    def fn(data):
+        h, w, _ = data.shape
+        cond = valid_mask(data)
+        cond_max = cond
+        if use_mask_box:
+            cond_max = cond & center_box_mask(h, w, mask_fract)[:, :, None]
+        mx = masked_max(data, cond_max)
+        out = data / jnp.where(mx != 0, mx, 1.0)
+        out = jnp.where(cond, out, 0.0)
+        return out, jnp.sum(cond_max) > 0
+
+    return fn
+
+
+def chan_max_scaler(chref: int = 0, use_mask_box: bool = False,
+                    mask_fract: float = 0.5) -> Transform:
+    """Divide all channels by the reference channel's masked max
+    (ref preprocessing.py:232-289); invalid when any channel's max <= 0."""
+
+    def fn(data):
+        h, w, c = data.shape
+        if use_mask_box:
+            y0, y1, x0, x1 = center_box_slices(h, w, mask_fract)
+            region = data[y0:y1, x0:x1, :]
+        else:
+            region = data
+        ref = region[:, :, chref]
+        cond_ref = valid_mask(ref)
+        mx = masked_max(ref, cond_ref)
+        valid = jnp.sum(cond_ref) > 0
+        for i in range(c):
+            chx = region[:, :, i]
+            cond_ch = valid_mask(chx)
+            ch_max = masked_max(chx, cond_ch)
+            valid = valid & (ch_max > 0) & jnp.isfinite(ch_max)
+        cond = valid_mask(data)
+        out = data / jnp.where(mx != 0, mx, 1.0)
+        out = jnp.where(cond, out, 0.0)
+        return out, valid
+
+    return fn
+
+
+def scaler(scale_factors: Sequence[float]) -> Transform:
+    """Multiply channels by fixed factors (ref preprocessing.py:446-474;
+    the reference version is unusable due to the self-assignment bug at
+    :453 — implemented correctly here, documented in SURVEY quirks)."""
+    factors = jnp.asarray(scale_factors, dtype=jnp.float32)
+
+    def fn(data):
+        assert data.shape[-1] == factors.shape[0]
+        return data * factors, TRUE
+
+    return fn
+
+
+# ---------------------------------------------------------------------------
+# Shifters / standardizers
+# ---------------------------------------------------------------------------
+
+def min_shifter(chid: int = -1) -> Transform:
+    """Subtract the masked min per channel (ref preprocessing.py:294-327)."""
+
+    def fn(data):
+        def ch(x, i):
+            if chid != -1 and i != chid:
+                return x, TRUE
+            cond = valid_mask(x)
+            lo = masked_min(x, cond)
+            out = jnp.where(cond, x - lo, 0.0)
+            return out, jnp.sum(cond) > 0
+        return _per_channel(data, ch)
+
+    return fn
+
+
+def shifter(offsets: Sequence[float]) -> Transform:
+    """Subtract fixed per-channel offsets (ref preprocessing.py:333-363)."""
+    offs = jnp.asarray(offsets, dtype=jnp.float32)
+
+    def fn(data):
+        assert data.shape[-1] == offs.shape[0]
+        cond = valid_mask(data)
+        return jnp.where(cond, data - offs, 0.0), TRUE
+
+    return fn
+
+
+def standardizer(means: Sequence[float], sigmas: Sequence[float]) -> Transform:
+    """(x - mean) / sigma with fixed per-channel stats
+    (ref preprocessing.py:369-403)."""
+    mu = jnp.asarray(means, dtype=jnp.float32)
+    sd = jnp.asarray(sigmas, dtype=jnp.float32)
+
+    def fn(data):
+        assert data.shape[-1] == mu.shape[0] == sd.shape[0]
+        cond = valid_mask(data)
+        return jnp.where(cond, (data - mu) / sd, 0.0), TRUE
+
+    return fn
+
+
+def negative_data_fixer() -> Transform:
+    """Shift entirely-non-positive channels to min (ref preprocessing.py:408-440)."""
+
+    def fn(data):
+        def ch(x, _):
+            cond = valid_mask(x)
+            lo = masked_min(x, cond)
+            hi = masked_max(x, cond)
+            shifted = jnp.where(cond, x - lo, 0.0)
+            return jnp.where(hi > 0, x, shifted), TRUE
+        return _per_channel(data, ch)
+
+    return fn
+
+
+# ---------------------------------------------------------------------------
+# Stretches / clips
+# ---------------------------------------------------------------------------
+
+def log_stretcher(chid: int = -1, minmaxnorm: bool = False,
+                  data_norm_min: float = -6.0, data_norm_max: float = 6.0,
+                  clip_neg: bool = False) -> Transform:
+    """log10 stretch (ref preprocessing.py:480-539).
+
+    NOTE the reference's inverted chid semantics: chid selects the channel
+    to SKIP (preprocessing.py:487,506), replicated here.
+    """
+
+    def fn(data):
+        def ch(x, i):
+            if chid != -1 and i == chid:
+                return x, TRUE
+            badpix = (x == 0) | ~jnp.isfinite(x)
+            cond = (x > 0) & jnp.isfinite(x)
+            npos = jnp.sum(cond)
+            lg = jnp.where(cond, jnp.log10(jnp.where(cond, x, 1.0)), 0.0)
+            lg_min = masked_min(lg, cond)
+            lg = jnp.where(cond, lg, lg_min)
+            if minmaxnorm:
+                lg = (lg - data_norm_min) / (data_norm_max - data_norm_min)
+                if clip_neg:
+                    lg = jnp.where(lg < 0, 0.0, lg)
+                lg = jnp.where(badpix, 0.0, lg)
+            return lg, npos > 0
+        return _per_channel(data, ch)
+
+    return fn
+
+
+def border_masker(mask_fract: float = 0.7) -> Transform:
+    """Zero all pixels outside the center box (ref preprocessing.py:544-586)."""
+
+    def fn(data):
+        h, w, _ = data.shape
+        box = center_box_mask(h, w, mask_fract)[:, :, None]
+        return jnp.where(box, data, 0.0), TRUE
+
+    return fn
+
+
+def bkg_subtractor(sigma: float = 3.0, use_mask_box: bool = False,
+                   mask_fract: float = 0.7, chid: int = -1) -> Transform:
+    """Subtract the sigma-clipped mean background per channel
+    (ref preprocessing.py:591-658).  With use_mask_box, the CENTER box is
+    excluded from the background estimate (source region)."""
+
+    def fn(data):
+        h, w, _ = data.shape
+        if use_mask_box:
+            y0, y1, x0, x1 = center_box_slices(h, w, mask_fract)
+
+        def ch(x, i):
+            if chid != -1 and i != chid:
+                return x, TRUE
+            cond = valid_mask(x)
+            bkgdata = x
+            if use_mask_box:
+                bkgdata = bkgdata.at[y0:y1, x0:x1].set(0.0)
+            cond_bkg = valid_mask(bkgdata)
+            bkgval, _, _, _, _, nvalid = sigma_clipped_stats(
+                bkgdata, cond_bkg, sigma, sigma)
+            out = jnp.where(cond, x - bkgval, 0.0)
+            return out, nvalid > 0
+        return _per_channel(data, ch)
+
+    return fn
+
+
+def sigma_clip_shifter(sigma: float = 1.0, chid: int = -1) -> Transform:
+    """Galvin+2019 clip-shift: newzero = clipped_mean + sigma*std; subtract
+    and clip below 0 (ref preprocessing.py:664-717)."""
+
+    def fn(data):
+        def ch(x, i):
+            if chid != -1 and i != chid:
+                return x, TRUE
+            cond = valid_mask(x)
+            clipmean, _, std, _, _, nvalid = sigma_clipped_stats(
+                x, cond, sigma, sigma)
+            newzero = clipmean + sigma * std
+            out = x - newzero
+            out = jnp.where(out < 0, 0.0, out)
+            out = jnp.where(cond, out, 0.0)
+            return out, nvalid > 0
+        return _per_channel(data, ch)
+
+    return fn
+
+
+def sigma_clipper(sigma_low: float = 10.0, sigma_up: float = 10.0,
+                  chid: int = -1) -> Transform:
+    """Clamp pixels to the final sigma-clip bounds (ref preprocessing.py:723-771)."""
+
+    def fn(data):
+        def ch(x, i):
+            if chid != -1 and i != chid:
+                return x, TRUE
+            cond = valid_mask(x)
+            lower, upper = sigma_clip_bounds(x, cond, sigma_low, sigma_up)
+            out = jnp.clip(x, lower, upper)
+            out = jnp.where(cond, out, 0.0)
+            return out, jnp.sum(cond) > 0
+        return _per_channel(data, ch)
+
+    return fn
+
+
+# ---------------------------------------------------------------------------
+# Geometry / channel plumbing
+# ---------------------------------------------------------------------------
+
+def resizer(resize_size: int, upscale: bool = False,
+            set_pad_val_to_min: bool = True) -> Transform:
+    """Aspect-preserving resize + center pad to a square
+    (ref preprocessing.py:776-857 via utils.resize_img_v2 'square' mode).
+
+    upscale=False pads small images instead of scaling them up."""
+
+    def fn(data):
+        h, w, c = data.shape
+        scale = 1.0
+        if upscale:
+            scale = max(1.0, resize_size / min(h, w))
+        if round(max(h, w) * scale) > resize_size:
+            scale = resize_size / max(h, w)
+        nh, nw = round(h * scale), round(w * scale)
+        out = data
+        if scale != 1.0:
+            out = jax.image.resize(out, (nh, nw, c), method="linear")
+        top = (resize_size - nh) // 2
+        left = (resize_size - nw) // 2
+        out = jnp.pad(out, ((top, resize_size - nh - top),
+                            (left, resize_size - nw - left), (0, 0)))
+        if set_pad_val_to_min:
+            cond = valid_mask(out)
+            mins = []
+            for i in range(c):
+                mins.append(masked_min(out[:, :, i], cond[:, :, i]))
+            out = jnp.where(cond, out, jnp.stack(mins))
+        return out, TRUE
+
+    return fn
+
+
+def chan_divider(chref: int = 0, logtransf: bool = False,
+                 strip_chref: bool = False, trim: bool = False,
+                 trim_min: float = -6.0, trim_max: float = 6.0) -> Transform:
+    """Divide channels by a reference channel (ref preprocessing.py:864-928).
+
+    The reference's strip_chref branch NameErrors (preprocessing.py:925
+    uses `chref` unqualified); implemented correctly here."""
+
+    def fn(data):
+        cond = valid_mask(data)
+        ref = data[:, :, chref]
+        cond_ref = valid_mask(ref)
+        denom = jnp.where(ref == 0, 1.0, ref)
+        chans = []
+        for i in range(data.shape[-1]):
+            if i == chref:
+                chans.append(ref)
+            else:
+                dn = data[:, :, i] / denom
+                chans.append(jnp.where(cond_ref, dn, 0.0))
+        out = jnp.stack(chans, axis=-1)
+        out = jnp.where(cond, out, 0.0)
+        if logtransf:
+            tr = jnp.where(out <= 0, 1.0, out)
+            tr = jnp.log10(tr)
+            tr = jnp.where(cond, tr, 0.0)
+            if trim:
+                tr = jnp.clip(tr, trim_min, trim_max)
+            tr = tr.at[:, :, chref].set(out[:, :, chref])
+            out = tr
+        if strip_chref:
+            keep = [i for i in range(out.shape[-1]) if i != chref]
+            out = out[:, :, keep]
+        return out, TRUE
+
+    return fn
+
+
+def zscale_transformer(contrasts: Sequence[float] = (0.25, 0.25, 0.25)) -> Transform:
+    """Per-channel zscale stretch (ref preprocessing.py:934-971).  The
+    transform sees the full channel (zeros included); masked pixels are
+    restored to 0 afterwards."""
+
+    def fn(data):
+        c = data.shape[-1]
+        assert len(contrasts) >= c, (
+            f"Invalid contrasts given (size={len(contrasts)} < nchans={c})")
+        cond = valid_mask(data)
+        chans = [zscale_transform(data[:, :, i], contrast=float(contrasts[i]))
+                 for i in range(c)]
+        out = jnp.stack(chans, axis=-1)
+        return jnp.where(cond, out, 0.0), TRUE
+
+    return fn
+
+
+def hist_equalizer(adaptive: bool = False, clip_limit: float = 0.03) -> Transform:
+    """Per-channel histogram equalization (ref preprocessing.py:977-1012).
+
+    adaptive (CLAHE) is not implemented (never reachable from the
+    reference CLI either, run.py has no flag for it)."""
+    if adaptive:
+        raise NotImplementedError("adaptive histogram equalization (CLAHE)")
+
+    def fn(data):
+        cond = valid_mask(data)
+        chans = [equalize_hist(data[:, :, i]) for i in range(data.shape[-1])]
+        out = jnp.stack(chans, axis=-1)
+        return jnp.where(cond, out, 0.0), TRUE
+
+    return fn
+
+
+def chan_resizer(nchans: int) -> Transform:
+    """Replicate the last channel up to nchans / truncate down
+    (ref preprocessing.py:1077-1133)."""
+    assert 0 < nchans <= 1000
+
+    def fn(data):
+        cur = data.shape[-1]
+        if nchans == cur:
+            return data, TRUE
+        if nchans > cur:
+            extra = jnp.repeat(data[:, :, cur - 1:cur], nchans - cur, axis=-1)
+            return jnp.concatenate([data, extra], axis=-1), TRUE
+        return data[:, :, :nchans], TRUE
+
+    return fn
+
+
+def chan3_transformer(sigma_clip_baseline: float = 0.0,
+                      sigma_clip_low: float = 1.0,
+                      sigma_clip_up: float = 20.0,
+                      zscale_contrast: float = 0.25) -> Transform:
+    """3-channel composite transform (ref preprocessing.py:1020-1072):
+      ch1 = zscale(sigmaclip(baseline, up));
+      ch2 = zscale(sigmaclip(low, up));
+      ch3 = histeq(raw)."""
+    to3 = chan_resizer(3)
+    clip1 = sigma_clipper(sigma_clip_baseline, sigma_clip_up)
+    clip2 = sigma_clipper(sigma_clip_low, sigma_clip_up)
+    zs = zscale_transformer([zscale_contrast])
+    he = hist_equalizer()
+
+    def fn(data):
+        cube, v0 = to3(data)
+
+        def one(chan2d, stages):
+            x = chan2d[:, :, None]
+            valid = TRUE
+            for s in stages:
+                x, v = s(x)
+                valid = valid & v
+            return x[:, :, 0], valid
+
+        c1, v1 = one(cube[:, :, 0], [clip1, zs])
+        c2, v2 = one(cube[:, :, 1], [clip2, zs])
+        c3, v3 = one(cube[:, :, 2], [he])
+        out = jnp.stack([c1, c2, c3], axis=-1)
+        return out, v0 & v1 & v2 & v3
+
+    return fn
+
+
+# ---------------------------------------------------------------------------
+# Pipeline
+# ---------------------------------------------------------------------------
+
+class Pipeline:
+    """Composed preprocessing pipeline, jitted as ONE computation.
+
+    Equivalent of the reference DataPreprocessor (preprocessing.py:47-67)
+    but stages fuse under XLA instead of materializing a full-image numpy
+    copy per stage.  Stages apply in list order.
+
+    __call__(data[H, W, C]) -> (data', valid)  — jit-compiled per shape.
+    """
+
+    def __init__(self, stages: Sequence[Transform]):
+        self.stages = list(stages)
+
+        def run(data):
+            data = jnp.asarray(data, dtype=jnp.float32)
+            valid = TRUE
+            for stage in self.stages:
+                data, v = stage(data)
+                valid = valid & v
+            return data, valid
+
+        self._run = jax.jit(run)
+
+    def __call__(self, data):
+        return self._run(data)
+
+    def batched(self):
+        """vmapped variant for [B, H, W, C] tile batches."""
+        return jax.jit(jax.vmap(lambda d: self._run(d)))
+
+
+def build_preprocessor(
+    *,
+    subtract_bkg: bool = False, sigma_bkg: float = 3.0,
+    use_box_mask_in_bkg: bool = False, bkg_box_mask_fract: float = 0.7,
+    bkg_chid: int = -1,
+    clip_shift_data: bool = False, sigma_clip: float = 1.0,
+    clip_data: bool = False, sigma_clip_low: float = 10.0,
+    sigma_clip_up: float = 10.0, clip_chid: int = -1,
+    nchannels: int = 1,
+    zscale_stretch: bool = False, zscale_contrasts=(0.25, 0.25, 0.25),
+    chan3_preproc: bool = False, sigma_clip_baseline: float = 0.0,
+    normalize_minmax: bool = False, norm_min: float = 0.0,
+    norm_max: float = 1.0,
+) -> Pipeline | None:
+    """Assemble the stage list exactly as the reference CLI does
+    (reference scripts/run.py:272-302).  Returns None when no stage is
+    enabled."""
+    stages: list[Transform] = []
+    if subtract_bkg:
+        stages.append(bkg_subtractor(
+            sigma=sigma_bkg, use_mask_box=use_box_mask_in_bkg,
+            mask_fract=bkg_box_mask_fract, chid=bkg_chid))
+    if clip_shift_data:
+        stages.append(sigma_clip_shifter(sigma=sigma_clip, chid=clip_chid))
+    if clip_data:
+        stages.append(sigma_clipper(
+            sigma_low=sigma_clip_low, sigma_up=sigma_clip_up, chid=clip_chid))
+    if nchannels > 1:
+        stages.append(chan_resizer(nchans=nchannels))
+    if zscale_stretch:
+        stages.append(zscale_transformer(contrasts=zscale_contrasts))
+    if chan3_preproc:
+        stages.append(chan3_transformer(
+            sigma_clip_baseline=sigma_clip_baseline,
+            sigma_clip_low=sigma_clip_low, sigma_clip_up=sigma_clip_up,
+            zscale_contrast=float(zscale_contrasts[0])))
+    if normalize_minmax:
+        stages.append(min_max_normalizer(norm_min=norm_min, norm_max=norm_max))
+    if not stages:
+        return None
+    return Pipeline(stages)

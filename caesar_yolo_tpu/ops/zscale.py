@@ -1,0 +1,109 @@
+"""ZScale display-interval algorithm (IRAF zscale) as fixed-shape JAX.
+
+Reimplements the algorithm used by the reference via astropy's
+ZScaleInterval (reference preprocessing.py:964): subsample the image,
+sort, iteratively fit a line to the sorted samples with k-sigma rejection
+and mask dilation, then derive display limits from the fitted slope and
+the sample median.  Iterations run under lax.while_loop; sample counts and
+strides are static (image shapes are static under jit).
+
+Defaults mirror astropy: nsamples=1000, contrast=0.25, max_reject=0.5,
+min_npixels=5, krej=2.5, max_iterations=5.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+@partial(jax.jit, static_argnames=(
+    "nsamples", "contrast", "max_reject", "min_npixels", "krej",
+    "max_iterations"))
+def zscale_limits(values: jnp.ndarray, contrast: float = 0.25,
+                  nsamples: int = 1000, max_reject: float = 0.5,
+                  min_npixels: int = 5, krej: float = 2.5,
+                  max_iterations: int = 5):
+    """Return (vmin, vmax) zscale limits of an array.
+
+    NaN/inf handling: astropy filters non-finite values before sampling;
+    under jit we cannot compact, so callers must pass finite data (the
+    pipeline zeroes non-finite pixels at read time, reference utils.py:219;
+    zeros are legitimately included in zscale sampling — the reference
+    applies ZScaleInterval to the full channel including masked zeros,
+    preprocessing.py:962-966).
+    """
+    flat = values.reshape(-1).astype(jnp.float32)
+    n = flat.shape[0]
+    # astropy: stride = int(max(1.0, size / nsamples)); samples[:nsamples]
+    stride = int(max(1.0, n / nsamples))
+    samples = flat[::stride][:nsamples]
+    v = jnp.sort(samples)
+    npix = v.shape[0]
+    vmin0, vmax0 = v[0], v[-1]
+
+    minpix = max(min_npixels, int(npix * max_reject))
+    ngrow = max(1, int(npix * 0.01))
+    x = jnp.arange(npix, dtype=jnp.float32)
+    kernel = jnp.ones((ngrow,), dtype=jnp.float32)
+
+    def body(state):
+        bad, ngood, _, it, _ = state
+        w = (~bad).astype(jnp.float32)
+        # Weighted least-squares line fit (weights in {0,1} make
+        # np.polyfit's squared-weight convention equivalent).
+        sw = jnp.sum(w)
+        sx = jnp.sum(w * x)
+        sy = jnp.sum(w * v)
+        sxx = jnp.sum(w * x * x)
+        sxy = jnp.sum(w * x * v)
+        denom = sw * sxx - sx * sx
+        slope = jnp.where(denom != 0, (sw * sxy - sx * sy) / denom, 0.0)
+        intercept = (sy - slope * sx) / jnp.maximum(sw, 1.0)
+        flat_resid = v - (intercept + slope * x)
+        # k-sigma threshold over currently-good pixels (ddof=0 std)
+        mu = jnp.sum(w * flat_resid) / jnp.maximum(sw, 1.0)
+        var = jnp.maximum(
+            jnp.sum(w * flat_resid * flat_resid) / jnp.maximum(sw, 1.0)
+            - mu * mu, 0.0)
+        threshold = krej * jnp.sqrt(var)
+        bad = bad | (flat_resid < -threshold) | (flat_resid > threshold)
+        # Dilate mask with ones(ngrow) kernel (bool convolve, mode='same')
+        bad = jnp.convolve(bad.astype(jnp.float32), kernel, mode="same") > 0
+        new_ngood = jnp.sum(~bad).astype(jnp.int32)
+        return bad, new_ngood, ngood, it + 1, slope
+
+    def cond(state):
+        _, ngood, last_ngood, it, _ = state
+        return (it < max_iterations) & (ngood < last_ngood) & (ngood >= minpix)
+
+    init = (jnp.zeros((npix,), dtype=bool), jnp.int32(npix),
+            jnp.int32(npix + 1), jnp.int32(0), jnp.float32(0.0))
+    _, ngood, _, _, slope = lax.while_loop(cond, body, init)
+
+    fitted_ok = ngood >= minpix
+    if contrast > 0:
+        slope = slope / contrast
+    center = (npix - 1) // 2
+    median = 0.5 * (v[(npix - 1) // 2] + v[npix // 2])
+    vmin = jnp.maximum(vmin0, median - (center - 1) * slope)
+    vmax = jnp.minimum(vmax0, median + (npix - center) * slope)
+    vmin = jnp.where(fitted_ok, vmin, vmin0)
+    vmax = jnp.where(fitted_ok, vmax, vmax0)
+    return vmin, vmax
+
+
+def zscale_transform(values: jnp.ndarray, contrast: float = 0.25,
+                     **kwargs) -> jnp.ndarray:
+    """Map values through the zscale interval to [0, 1] (clipped).
+
+    Equivalent to astropy ZScaleInterval.__call__(values, clip=True).
+    """
+    vmin, vmax = zscale_limits(values, contrast=contrast, **kwargs)
+    span = vmax - vmin
+    out = jnp.where(span != 0, (values - vmin) / jnp.where(span != 0, span, 1.0),
+                    values - vmin)
+    return jnp.clip(out, 0.0, 1.0)
