@@ -1,0 +1,208 @@
+"""Command-line detection entry point.
+
+Flag-compatible with the reference CLI (reference scripts/run.py:58-155)
+so a caesar-yolo user can switch by changing the executable:
+
+    python -m caesar_yolo_tpu.cli.run --image=img.fits \
+        --weights=yolov8l.npz --scoreThr=0.5 \
+        --preprocessing --zscale_stretch --normalize_minmax \
+        [--split_img_in_tiles --tile_xsize=512 ...]
+
+Differences from the reference (TPU-native redesign):
+  - no mpirun: tiled runs shard tile batches over all visible TPU chips
+    via the device mesh (--devices selects jax platforms instead of
+    cuda ids).
+  - --weights accepts a converted .npz (models/convert.py) or a raw
+    ultralytics .pt (converted on the fly; needs torch on the host).
+  - extra: --model (architecture name when not inferable), --batch_size.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+from caesar_yolo_tpu import logger
+
+
+def parse_args(argv=None):
+    parser = argparse.ArgumentParser(description="caesar-yolo-tpu options")
+
+    # DATA
+    parser.add_argument("--image", required=False, type=str, default="",
+                        help="Input image (FITS/PNG/JPG) to detect on")
+    parser.add_argument("--datalist", required=False, default="",
+                        help="Filelist of images for batch detection")
+    parser.add_argument("--maxnimgs", required=False, type=int, default=-1)
+
+    # MODEL
+    parser.add_argument("--weights", required=True,
+                        help="Converted .npz weights (or ultralytics .pt)")
+    parser.add_argument("--model", required=False, default="",
+                        help="Architecture name (default: from weights name)")
+
+    # PREPROCESSING
+    parser.add_argument("--imgsize", type=int, default=640)
+    parser.add_argument("--preprocessing", action="store_true")
+    parser.add_argument("--normalize_minmax", action="store_true")
+    parser.add_argument("--norm_min", type=float, default=0.0)
+    parser.add_argument("--norm_max", type=float, default=1.0)
+    parser.add_argument("--subtract_bkg", action="store_true")
+    parser.add_argument("--sigma_bkg", type=float, default=3.0)
+    parser.add_argument("--use_box_mask_in_bkg", action="store_true")
+    parser.add_argument("--bkg_box_mask_fract", type=float, default=0.7)
+    parser.add_argument("--bkg_chid", type=int, default=-1)
+    parser.add_argument("--clip_shift_data", action="store_true")
+    parser.add_argument("--sigma_clip", type=float, default=1.0)
+    parser.add_argument("--clip_data", action="store_true")
+    parser.add_argument("--sigma_clip_low", type=float, default=10.0)
+    parser.add_argument("--sigma_clip_up", type=float, default=10.0)
+    parser.add_argument("--clip_chid", type=int, default=-1)
+    parser.add_argument("--zscale_stretch", action="store_true")
+    parser.add_argument("--zscale_contrasts", type=str,
+                        default="0.25,0.25,0.25")
+    parser.add_argument("--chan3_preproc", action="store_true")
+    parser.add_argument("--sigma_clip_baseline", type=float, default=0.0)
+    parser.add_argument("--nchannels", type=int, default=1)
+
+    # DETECT
+    parser.add_argument("--scoreThr", type=float, default=0.7)
+    parser.add_argument("--iouThr", type=float, default=0.5)
+    parser.add_argument("--merge_overlap_iou_thr_soft", type=float,
+                        default=0.3)
+    parser.add_argument("--merge_overlap_iou_thr_hard", type=float,
+                        default=0.8)
+    parser.add_argument("--xmin", type=int, default=-1)
+    parser.add_argument("--xmax", type=int, default=-1)
+    parser.add_argument("--ymin", type=int, default=-1)
+    parser.add_argument("--ymax", type=int, default=-1)
+
+    # TILING / PARALLEL
+    parser.add_argument("--split_img_in_tiles", action="store_true")
+    parser.add_argument("--tile_xsize", type=int, default=512)
+    parser.add_argument("--tile_ysize", type=int, default=512)
+    parser.add_argument("--tile_xstep", type=float, default=1.0)
+    parser.add_argument("--tile_ystep", type=float, default=1.0)
+    parser.add_argument("--max_ntasks_per_worker", type=int, default=100)
+    parser.add_argument("--batch_size", type=int, default=8)
+
+    # RUN
+    parser.add_argument("--devices", type=str, default="",
+                        help="jax platform override (e.g. cpu, tpu)")
+    parser.add_argument("--multigpu", action="store_true",
+                        help="(compat no-op: the mesh always uses all chips)")
+
+    # DRAW / SAVE
+    parser.add_argument("--draw_plots", action="store_true")
+    parser.add_argument("--draw_class_label_in_caption", action="store_true")
+    parser.add_argument("--save_plots", action="store_true")
+    parser.add_argument("--save_tile_catalog", action="store_true")
+    parser.add_argument("--save_tile_region", action="store_true")
+    parser.add_argument("--save_tile_img", action="store_true")
+    parser.add_argument("--detect_outfile", type=str, default="")
+    parser.add_argument("--detect_outfile_json", type=str, default="")
+
+    return parser.parse_args(argv)
+
+
+def validate_args(args) -> int:
+    """Reference validation rules (scripts/run.py:158-190)."""
+    if not args.image:
+        logger.error("Argument --image is required for detect task!")
+        return -1
+    if not os.path.isfile(args.image):
+        logger.error("Image argument must be an existing image on "
+                     "filesystem!")
+        return -1
+    if not args.image.endswith((".fits", ".png", ".jpg")):
+        logger.error("Image must have .fits/.png/.jpg extension!")
+        return -1
+    if args.maxnimgs == 0 or (args.maxnimgs < 0 and args.maxnimgs != -1):
+        logger.error("Invalid maxnimgs given (hint: give -1 or >0)!")
+        return -1
+    if not args.weights or not os.path.isfile(args.weights):
+        logger.error("Given weight file %s not existing or not a file!",
+                     args.weights)
+        return -1
+    return 0
+
+
+def build_preprocessor_from_args(args):
+    from caesar_yolo_tpu.ops import build_preprocessor
+    if not args.preprocessing:
+        return None
+    contrasts = [float(v) for v in args.zscale_contrasts.split(",")]
+    return build_preprocessor(
+        subtract_bkg=args.subtract_bkg, sigma_bkg=args.sigma_bkg,
+        use_box_mask_in_bkg=args.use_box_mask_in_bkg,
+        bkg_box_mask_fract=args.bkg_box_mask_fract, bkg_chid=args.bkg_chid,
+        clip_shift_data=args.clip_shift_data, sigma_clip=args.sigma_clip,
+        clip_data=args.clip_data, sigma_clip_low=args.sigma_clip_low,
+        sigma_clip_up=args.sigma_clip_up, clip_chid=args.clip_chid,
+        nchannels=args.nchannels, zscale_stretch=args.zscale_stretch,
+        zscale_contrasts=contrasts, chan3_preproc=args.chan3_preproc,
+        sigma_clip_baseline=args.sigma_clip_baseline,
+        normalize_minmax=args.normalize_minmax, norm_min=args.norm_min,
+        norm_max=args.norm_max)
+
+
+def load_model_and_params(args):
+    from caesar_yolo_tpu.models.convert import convert_checkpoint, load_params
+    from caesar_yolo_tpu.models.yolo import build_model
+    name = args.model or os.path.splitext(os.path.basename(args.weights))[0]
+    if args.weights.endswith(".pt"):
+        return convert_checkpoint(args.weights, model_name=args.model or None)
+    params, meta = load_params(args.weights)
+    model = build_model(meta.get("model", name),
+                        num_classes=int(meta.get("num_classes", 5)))
+    return model, params
+
+
+def main(argv=None) -> int:
+    args = parse_args(argv)
+    if validate_args(args) < 0:
+        return 1
+
+    if args.devices:
+        import jax
+        try:
+            jax.config.update("jax_platforms", args.devices)
+        except RuntimeError:
+            logger.warning("jax backends already initialized; --devices "
+                           "ignored")
+
+    from caesar_yolo_tpu.parallel import SFinder, SFinderConfig, make_mesh
+
+    model, params = load_model_and_params(args)
+    preproc = build_preprocessor_from_args(args)
+
+    cfg = SFinderConfig(
+        image_path=args.image,
+        image_xmin=args.xmin, image_xmax=args.xmax,
+        image_ymin=args.ymin, image_ymax=args.ymax,
+        img_size=args.imgsize, score_thr=args.scoreThr,
+        iou_thr=args.iouThr,
+        merge_overlap_iou_thr_soft=args.merge_overlap_iou_thr_soft,
+        merge_overlap_iou_thr_hard=args.merge_overlap_iou_thr_hard,
+        split_image_in_tiles=args.split_img_in_tiles,
+        tile_xsize=args.tile_xsize, tile_ysize=args.tile_ysize,
+        tile_xstep=args.tile_xstep, tile_ystep=args.tile_ystep,
+        max_ntasks_per_worker=args.max_ntasks_per_worker,
+        batch_size=args.batch_size,
+        save_tile_catalog=args.save_tile_catalog,
+        save_tile_region=args.save_tile_region,
+        save_tile_img=args.save_tile_img,
+        draw_plot=args.draw_plots, save_plot=args.save_plots,
+        draw_class_label_in_caption=args.draw_class_label_in_caption,
+        outfile_json=args.detect_outfile_json,
+        outfile_ds9=args.detect_outfile)
+
+    mesh = make_mesh() if args.split_img_in_tiles else None
+    sf = SFinder(model, params, cfg, preprocessor=preproc, mesh=mesh)
+    rc = sf.run_tiled() if args.split_img_in_tiles else sf.run()
+    return 0 if rc == 0 else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

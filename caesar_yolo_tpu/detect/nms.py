@@ -1,0 +1,95 @@
+"""Fixed-shape, jit-able greedy NMS (TPU-native).
+
+Replaces the NMS the reference gets for free from ultralytics
+(`model(..., conf=score_thr, iou=iou_thr)`, reference
+evaluation.py:181-193).  Everything here is static-shape: candidate
+selection is a top-k, suppression is a fori_loop over a [K, K] IoU
+matrix, and the output is MAXDET-padded with a validity mask — the shape
+contract the whole downstream pipeline (merge, stitch, gather over the
+device mesh) relies on.
+
+Semantics matched to the published torch pipeline:
+  - single-label: per anchor, class = argmax, conf = max class prob
+  - candidates: conf > conf_thr (strict)
+  - class-aware suppression via per-class coordinate offsets
+    (agnostic=False default)
+  - keep at most max_det (default 300), highest-score first
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from caesar_yolo_tpu.utils.boxes import iou_matrix
+
+MAX_WH = 7680.0  # class offset multiplier (larger than any letterbox size)
+
+
+@partial(jax.jit, static_argnames=("conf_thr", "iou_thr", "max_det",
+                                   "pre_nms", "class_agnostic"))
+def nms_single(boxes: jnp.ndarray, scores: jnp.ndarray,
+               conf_thr: float = 0.25, iou_thr: float = 0.5,
+               max_det: int = 300, pre_nms: int = 256,
+               class_agnostic: bool = False):
+    """NMS for one image.
+
+    boxes: [A, 4] xyxy; scores: [A, NC] per-class probabilities.
+    Returns (boxes[max_det, 4], scores[max_det], cls[max_det] int32,
+    valid[max_det] bool), score-descending.
+    """
+    conf = jnp.max(scores, axis=-1)
+    cls = jnp.argmax(scores, axis=-1).astype(jnp.int32)
+    cand = conf > conf_thr
+
+    k = min(pre_nms, boxes.shape[0])
+    top_conf, top_idx = lax.top_k(jnp.where(cand, conf, -1.0), k)
+    top_boxes = boxes[top_idx]
+    top_cls = cls[top_idx]
+    top_valid = top_conf > conf_thr
+
+    nms_boxes = top_boxes
+    if not class_agnostic:
+        nms_boxes = top_boxes + (top_cls[:, None].astype(top_boxes.dtype)
+                                 * MAX_WH)
+    iou = iou_matrix(nms_boxes, nms_boxes)
+
+    # Greedy suppression in score order (rows are already sorted desc).
+    js = jnp.arange(k)
+
+    def body(i, alive):
+        suppress = alive[i] & (iou[i] > iou_thr) & (js > i) & top_valid
+        return alive & ~suppress
+
+    alive = lax.fori_loop(0, k, body, top_valid)
+
+    # Compact kept rows into a fixed [max_det] output (scatter by rank;
+    # overflow beyond max_det lands in a discard row).
+    rank = jnp.cumsum(alive) - 1
+    dst = jnp.where(alive & (rank < max_det), rank, max_det)
+    out_boxes = jnp.zeros((max_det + 1, 4), top_boxes.dtype).at[dst].set(
+        top_boxes)[:max_det]
+    out_scores = jnp.zeros((max_det + 1,), top_conf.dtype).at[dst].set(
+        top_conf)[:max_det]
+    out_cls = jnp.zeros((max_det + 1,), jnp.int32).at[dst].set(
+        top_cls)[:max_det]
+    out_valid = jnp.zeros((max_det + 1,), bool).at[dst].set(
+        alive)[:max_det]
+    return out_boxes, out_scores, out_cls, out_valid
+
+
+@partial(jax.jit, static_argnames=("conf_thr", "iou_thr", "max_det",
+                                   "pre_nms", "class_agnostic"))
+def nms_batch(boxes: jnp.ndarray, scores: jnp.ndarray,
+              conf_thr: float = 0.25, iou_thr: float = 0.5,
+              max_det: int = 300, pre_nms: int = 256,
+              class_agnostic: bool = False):
+    """Batched NMS: boxes [B, A, 4], scores [B, A, NC] ->
+    (boxes[B, max_det, 4], scores[B, max_det], cls[B, max_det],
+    valid[B, max_det])."""
+    return jax.vmap(lambda b, s: nms_single(
+        b, s, conf_thr=conf_thr, iou_thr=iou_thr, max_det=max_det,
+        pre_nms=pre_nms, class_agnostic=class_agnostic))(boxes, scores)

@@ -1,0 +1,160 @@
+"""Dataset-level detection quality metrics: completeness / reliability / F1.
+
+Re-implements the reference evaluation macro's exact counting rules
+(reference macros/make_prediction.py:328-441 completeness, :446-547
+reliability; IoU >= 0.6 match criterion at :559,:633; F1 = 2CR/(C+R),
+README.md:184-188):
+
+  - "real source" classes: compact, extended, extended-multisland.
+  - completeness: a gt real source counts as detected when SOME
+    prediction matches with IoU >= thr AND the best-IoU match carries a
+    real-source label (not necessarily the same class).  spurious and
+    flagged gts count only when the best match has the SAME label.
+  - reliability: a predicted real source counts when its best gt match
+    (IoU >= thr) is a real source; spurious/flagged predictions count
+    only on same-label matches.
+
+The O(N*M) scalar loops of the reference are replaced by vectorized IoU
+matrices per image.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from caesar_yolo_tpu.utils.boxes import iou_matrix_np
+
+SOURCE_CLASSES = ("compact", "extended", "extended-multisland")
+SPECIAL_CLASSES = ("spurious", "flagged")
+
+
+@dataclass
+class ClassCounts:
+    n: int = 0
+    n_matched: int = 0
+
+    @property
+    def ratio(self) -> float:
+        return self.n_matched / self.n if self.n > 0 else -999.0
+
+
+@dataclass
+class MetricsReport:
+    completeness: dict = field(default_factory=dict)
+    reliability: dict = field(default_factory=dict)
+    f1: dict = field(default_factory=dict)
+
+    def summary(self) -> str:
+        lines = []
+        for key in sorted(set(self.completeness) | set(self.reliability)):
+            c = self.completeness.get(key)
+            r = self.reliability.get(key)
+            f = self.f1.get(key)
+            lines.append(
+                f"{key}: C={c.ratio if c else float('nan'):.4f} "
+                f"(n={c.n if c else 0}) "
+                f"R={r.ratio if r else float('nan'):.4f} "
+                f"(n={r.n if r else 0}) "
+                f"F1={f if f is not None else float('nan'):.4f}")
+        return "\n".join(lines)
+
+
+def _best_matches(boxes_a, boxes_b, iou_thr):
+    """For each box in a: (matched?, best-match index in b)."""
+    if len(boxes_a) == 0 or len(boxes_b) == 0:
+        return (np.zeros(len(boxes_a), bool),
+                np.full(len(boxes_a), -1, np.int64))
+    iou = iou_matrix_np(np.asarray(boxes_a), np.asarray(boxes_b))
+    matched = (iou >= iou_thr).any(axis=1)
+    best = np.where(matched, np.argmax(np.where(iou >= iou_thr, iou, 0.0),
+                                       axis=1), -1)
+    return matched, best
+
+
+def compute_completeness(gt_list, pred_list, iou_thr: float = 0.6) -> dict:
+    """gt_list/pred_list: per-image dicts with 'bboxes' (xyxy) and
+    'labels' (class-name strings).  Returns {key: ClassCounts} with keys
+    'source' (cumulative real sources), each real class, 'spurious',
+    'flagged'."""
+    counts = {k: ClassCounts() for k in
+              ("source",) + SOURCE_CLASSES + SPECIAL_CLASSES}
+    for gt, pred in zip(gt_list, pred_list):
+        labels = list(gt["labels"])
+        plabels = list(pred["labels"])
+        matched, best = _best_matches(gt["bboxes"], pred["bboxes"], iou_thr)
+        for j, label in enumerate(labels):
+            det_label = plabels[best[j]] if matched[j] else "none"
+            if label in SPECIAL_CLASSES:
+                counts[label].n += 1
+                if matched[j] and det_label == label:
+                    counts[label].n_matched += 1
+            elif label in SOURCE_CLASSES:
+                counts["source"].n += 1
+                counts[label].n += 1
+                if matched[j] and det_label in SOURCE_CLASSES:
+                    counts["source"].n_matched += 1
+                    counts[label].n_matched += 1
+    return counts
+
+
+def compute_reliability(gt_list, pred_list, iou_thr: float = 0.6) -> dict:
+    """Mirror of compute_completeness over predictions."""
+    counts = {k: ClassCounts() for k in
+              ("source",) + SOURCE_CLASSES + SPECIAL_CLASSES}
+    for gt, pred in zip(gt_list, pred_list):
+        labels = list(gt["labels"])
+        plabels = list(pred["labels"])
+        matched, best = _best_matches(pred["bboxes"], gt["bboxes"], iou_thr)
+        for j, plabel in enumerate(plabels):
+            gt_label = labels[best[j]] if matched[j] else "none"
+            if plabel in SPECIAL_CLASSES:
+                counts[plabel].n += 1
+                if matched[j] and gt_label == plabel:
+                    counts[plabel].n_matched += 1
+            elif plabel in SOURCE_CLASSES:
+                counts["source"].n += 1
+                counts[plabel].n += 1
+                if matched[j] and gt_label in SOURCE_CLASSES:
+                    counts["source"].n_matched += 1
+                    counts[plabel].n_matched += 1
+    return counts
+
+
+def compute_metrics(gt_list, pred_list, iou_thr: float = 0.6) -> MetricsReport:
+    """Full C/R/F1 report (F1 = 2CR/(C+R), README.md:184-188)."""
+    comp = compute_completeness(gt_list, pred_list, iou_thr)
+    rel = compute_reliability(gt_list, pred_list, iou_thr)
+    f1 = {}
+    for key in comp:
+        c, r = comp[key].ratio, rel[key].ratio
+        f1[key] = (2 * c * r / (c + r)
+                   if c >= 0 and r >= 0 and (c + r) > 0 else float("nan"))
+    return MetricsReport(completeness=comp, reliability=rel, f1=f1)
+
+
+def read_yolo_labels(label_path: str, img_w: int, img_h: int,
+                     class_names) -> dict:
+    """Parse a YOLO-format label txt (class cx cy w h, normalized) into
+    {'bboxes': [N,4] xyxy px, 'labels': [names]}
+    (reference make_prediction.py:580-626)."""
+    boxes, labels = [], []
+    try:
+        with open(label_path) as f:
+            for line in f:
+                parts = line.split()
+                if len(parts) < 5:
+                    continue
+                cid = int(float(parts[0]))
+                cx, cy, w, h = (float(v) for v in parts[1:5])
+                x1 = (cx - w / 2) * img_w
+                y1 = (cy - h / 2) * img_h
+                x2 = (cx + w / 2) * img_w
+                y2 = (cy + h / 2) * img_h
+                boxes.append([x1, y1, x2, y2])
+                labels.append(class_names[cid])
+    except FileNotFoundError:
+        pass
+    return {"bboxes": np.asarray(boxes, np.float64).reshape(-1, 4),
+            "labels": labels}

@@ -227,11 +227,11 @@ class SPPF:
     def __call__(self, params, x):
         y = self.cv1(params["cv1"], x)
         pad = self.k // 2
-        neg = jnp.asarray(-jnp.inf, y.dtype)
 
         def pool(v):
+            # literal init value so XLA/autodiff recognize reduce_window_max
             return lax.reduce_window(
-                v, neg, lax.max, (1, self.k, self.k, 1), (1, 1, 1, 1),
+                v, -jnp.inf, lax.max, (1, self.k, self.k, 1), (1, 1, 1, 1),
                 ((0, 0), (pad, pad), (pad, pad), (0, 0)))
 
         p1 = pool(y)

@@ -296,6 +296,7 @@ def bkg_subtractor(sigma: float = 3.0, use_mask_box: bool = False,
     excluded from the background estimate (source region)."""
 
     def fn(data):
+        data = jnp.asarray(data)  # .at update below needs a jnp array
         h, w, _ = data.shape
         if use_mask_box:
             y0, y1, x0, x1 = center_box_slices(h, w, mask_fract)
@@ -542,6 +543,7 @@ class Pipeline:
                 valid = valid & v
             return data, valid
 
+        self.apply = run  # pure, un-jitted (for fusing into larger programs)
         self._run = jax.jit(run)
 
     def __call__(self, data):

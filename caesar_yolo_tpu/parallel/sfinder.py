@@ -1,0 +1,374 @@
+"""Mosaic-scale source finding: tiling, batched mesh-sharded inference,
+edge handling, stitching, catalog output.
+
+TPU-native re-design of the reference SFinder (reference
+inference.py:280-1287).  What changes and why:
+
+  reference (MPI)                          this (TPU mesh)
+  ---------------------------------------  -----------------------------------
+  N python processes, each with its own    one process per host; params live
+  full model copy (run.py:222-356)         once per chip, replicated via
+                                           NamedSharding
+  static round-robin tile->rank map        tiles grouped by shape, batched,
+  (inference.py:1008-1029)                 batch axis sharded over the mesh
+  per-tile torch dispatch + ultralytics    ONE jitted XLA program per tile
+  NMS (evaluation.py:181-193)              shape: preproc+forward+decode+NMS
+  pickled dict send/recv gather            fixed-shape device arrays; XLA
+  (inference.py:954-978)                   moves data over ICI
+  blocking disk read per tile              thread-pool prefetch overlapping
+  (inference.py:190-195)                   reads with device compute
+
+Host-side stitching (tiny N) reproduces the reference's exact merge
+semantics (parallel/stitch.py).  Per-tile failures are captured and
+skipped with a log, matching the reference's status-code-and-continue
+policy (inference.py:615-618), plus an error ledger for observability.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from caesar_yolo_tpu import logger
+from caesar_yolo_tpu.detect.analyzer import Analyzer, AnalyzerOutputs
+from caesar_yolo_tpu.detect.merge import merge_detections
+from caesar_yolo_tpu.detect.predictor import Predictor
+from caesar_yolo_tpu.outputs.catalog import (
+    CLASS_NAMES,
+    make_json_results,
+    make_objects,
+    write_json,
+)
+from caesar_yolo_tpu.outputs.ds9 import write_ds9_regions
+from caesar_yolo_tpu.parallel.engine import TileEngine
+from caesar_yolo_tpu.parallel.stitch import flag_edge_sources, stitch_tile_sources
+from caesar_yolo_tpu.utils.fits import (
+    beam_area_from_header,
+    get_fits_header,
+    read_fits_crop,
+    read_image,
+)
+from caesar_yolo_tpu.utils.tiling import (
+    TileWindow,
+    generate_tiles,
+    make_tile_windows,
+    neighbor_table,
+)
+
+
+@dataclass(frozen=True)
+class SFinderConfig:
+    """Frozen run configuration (replaces the reference's mutable global
+    CONFIG dict, config.py:4-59 — no live objects, no globals)."""
+    image_path: str = ""
+    image_xmin: int = 0
+    image_xmax: int = 0
+    image_ymin: int = 0
+    image_ymax: int = 0
+    img_size: int = 640
+    score_thr: float = 0.7
+    iou_thr: float = 0.5
+    merge_overlap_iou_thr_soft: float = 0.3
+    merge_overlap_iou_thr_hard: float = 0.8
+    split_image_in_tiles: bool = False
+    tile_xsize: int = 256
+    tile_ysize: int = 256
+    tile_xstep: float = 1.0
+    tile_ystep: float = 1.0
+    max_ntasks_per_worker: int = 100
+    batch_size: int = 8
+    save_catalog: bool = True
+    save_region: bool = True
+    save_tile_catalog: bool = False
+    save_tile_region: bool = False
+    save_tile_img: bool = False
+    save_img: bool = False
+    draw_plot: bool = False
+    save_plot: bool = False
+    draw_class_label_in_caption: bool = True
+    outfile_json: str = ""
+    outfile_ds9: str = ""
+    class_names: tuple = CLASS_NAMES
+
+
+@dataclass
+class SFinderReport:
+    """Run observability: timings and per-tile failures."""
+    runtime_s: float = 0.0
+    n_tiles: int = 0
+    n_sources: int = 0
+    phase_times: dict = field(default_factory=dict)
+    tile_errors: list = field(default_factory=list)
+
+
+class SFinder:
+    """Mosaic source finder over a (possibly multi-chip) TPU mesh."""
+
+    def __init__(self, model, params, config: SFinderConfig, *,
+                 preprocessor=None, mesh=None, engine_kwargs=None):
+        self.model = model
+        self.params = params
+        self.config = config
+        self.preprocessor = preprocessor
+        self.mesh = mesh
+        self.engine_kwargs = dict(engine_kwargs or {})
+        self.sources: dict = {"sources": []}
+        self.report = SFinderReport()
+        base = os.path.basename(os.path.abspath(config.image_path))
+        self.image_id = os.path.splitext(base)[0]
+        self.header = None
+        self.beam_area = 0.0
+        self.nx = self.ny = -1
+        self.xmin = self.ymin = 0
+
+    # -- image metadata ------------------------------------------------------
+
+    def set_img_size_params(self) -> int:
+        """Image size / crop range / beam area from the FITS header
+        (reference inference.py:354-477; the nx/ny-before-assignment
+        quirk at :374-381 is fixed here)."""
+        cfg = self.config
+        ext = os.path.splitext(cfg.image_path)[1]
+        if ext == ".fits":
+            self.header = get_fits_header(cfg.image_path)
+            if self.header is None:
+                logger.error("Header read from image %s is None!",
+                             cfg.image_path)
+                return -1
+        crop = (cfg.image_xmin >= 0 and cfg.image_xmax > 0
+                and cfg.image_ymin >= 0 and cfg.image_ymax > 0)
+        if crop:
+            self.xmin, self.ymin = cfg.image_xmin, cfg.image_ymin
+            self.xmax, self.ymax = cfg.image_xmax, cfg.image_ymax
+            self.nx = self.xmax - self.xmin + 1
+            self.ny = self.ymax - self.ymin + 1
+        else:
+            if ext == ".fits":
+                if "NAXIS1" not in self.header or "NAXIS2" not in self.header:
+                    logger.error("NAXIS1/NAXIS2 missing in header!")
+                    return -1
+                self.nx = int(self.header["NAXIS1"])
+                self.ny = int(self.header["NAXIS2"])
+            else:
+                img = read_image(cfg.image_path)
+                if img is None:
+                    return -1
+                self.ny, self.nx = img.shape[:2]
+            self.xmin, self.ymin = 0, 0
+            self.xmax, self.ymax = self.nx - 1, self.ny - 1
+        if self.header is not None:
+            self.beam_area = beam_area_from_header(self.header) or 0.0
+        return 0
+
+    # -- serial path ---------------------------------------------------------
+
+    def run(self) -> int:
+        """Whole-image (or crop) detection on one device batch of 1
+        (reference inference.py:485-552)."""
+        t0 = time.time()
+        if self.set_img_size_params() < 0:
+            return -1
+        cfg = self.config
+        ext = os.path.splitext(cfg.image_path)[1]
+        if ext == ".fits":
+            res = read_fits_crop(cfg.image_path, cfg.image_xmin,
+                                 cfg.image_xmax, cfg.image_ymin,
+                                 cfg.image_ymax, strip_deg_axis=True)
+            if res is None:
+                logger.error("Failed to read image %s!", cfg.image_path)
+                return -1
+            image_data, header, _ = res
+        elif ext in (".png", ".jpg", ".jpeg"):
+            image_data = read_image(cfg.image_path)
+            if image_data is None:
+                return -1
+        else:
+            logger.error("Unsupported image format (%s) given!", ext)
+            return -1
+
+        predictor = Predictor(
+            self.model, self.params, img_size=cfg.img_size,
+            score_thr=cfg.score_thr, iou_thr=cfg.iou_thr,
+            **self.engine_kwargs)
+        outputs = AnalyzerOutputs(
+            write_json=cfg.save_catalog, write_ds9=cfg.save_region,
+            save_img=cfg.save_img, draw=cfg.draw_plot,
+            save_plot=cfg.save_plot,
+            draw_class_label_in_caption=cfg.draw_class_label_in_caption,
+            outfile_json=cfg.outfile_json or f"out_{self.image_id}.json",
+            outfile_ds9=cfg.outfile_ds9 or f"out_{self.image_id}.reg")
+        analyzer = Analyzer(
+            predictor, preprocessor=self.preprocessor,
+            soft_merge_thr=cfg.merge_overlap_iou_thr_soft,
+            hard_merge_thr=cfg.merge_overlap_iou_thr_hard,
+            outputs=outputs, class_names=cfg.class_names)
+        rc = analyzer.predict(image_data, self.image_id,
+                              xmin=self.xmin, ymin=self.ymin)
+        self.report.runtime_s = time.time() - t0
+        if rc < 0:
+            logger.error("Failed to run model prediction on image %s!",
+                         cfg.image_path)
+            return -1
+        n = len(analyzer.detections)
+        self.report.n_sources = n
+        self.sources = {"sources": analyzer.results["objs"]}
+        logger.info("#%d objects found in image %s (%.2fs)", n,
+                    cfg.image_path, self.report.runtime_s)
+        return 0
+
+    # -- tiled path ----------------------------------------------------------
+
+    def run_tiled(self) -> int:
+        """Tile the mosaic, run batched sharded inference, stitch, save
+        (reference inference.py:578-658 run_parallel)."""
+        t0 = time.time()
+        cfg = self.config
+        if os.path.splitext(cfg.image_path)[1] != ".fits":
+            logger.error("Only FITS images are supported in tiled runs!")
+            return -1
+        if self.set_img_size_params() < 0:
+            return -1
+
+        grid = generate_tiles(self.xmin, self.xmax, self.ymin, self.ymax,
+                              cfg.tile_xsize, cfg.tile_ysize,
+                              cfg.tile_xstep, cfg.tile_ystep)
+        if grid is None:
+            return -1
+        tiles = make_tile_windows(grid)
+        neighbors = neighbor_table(tiles)
+        self.report.n_tiles = len(tiles)
+        logger.info("Split image %s into %d tiles (%dx%d, step %.2f/%.2f)",
+                    self.image_id, len(tiles), cfg.tile_xsize,
+                    cfg.tile_ysize, cfg.tile_xstep, cfg.tile_ystep)
+
+        engine = TileEngine(
+            self.model, self.params, preprocessor=self.preprocessor,
+            mesh=self.mesh, img_size=cfg.img_size,
+            score_thr=cfg.score_thr, iou_thr=cfg.iou_thr,
+            **self.engine_kwargs)
+
+        t_detect = time.time()
+        tile_results = self._detect_tiles(engine, tiles)
+        self.report.phase_times["detect"] = time.time() - t_detect
+
+        # edge flagging (reference inference.py:663-726)
+        t_edge = time.time()
+        tile_by_id = {t.tid: t for t in tiles}
+        for tr in tile_results:
+            nb = [tile_by_id[tid] for tid in tr["neighborTileIds"]]
+            flag_edge_sources(tr["objs"], tile_by_id[tr["tileId"]], nb)
+        self.report.phase_times["edge_flagging"] = time.time() - t_edge
+
+        # stitch (reference inference.py:731-931)
+        t_stitch = time.time()
+        self.sources = stitch_tile_sources(tile_results)
+        self.report.phase_times["stitch"] = time.time() - t_stitch
+
+        self.save()
+        self.report.runtime_s = time.time() - t0
+        self.report.n_sources = len(self.sources["sources"])
+        logger.info("Run completed in %.2f seconds (%d tiles, %d sources)",
+                    self.report.runtime_s, len(tiles),
+                    self.report.n_sources)
+        return 0
+
+    def _detect_tiles(self, engine: TileEngine, tiles: list[TileWindow]):
+        """Shape-grouped, batch-padded, prefetched tile detection."""
+        cfg = self.config
+        n_dev = int(np.prod(self.mesh.devices.shape)) if self.mesh else 1
+        batch = max(cfg.batch_size, n_dev)
+        batch = ((batch + n_dev - 1) // n_dev) * n_dev
+
+        groups: dict[tuple, list[TileWindow]] = {}
+        for t in tiles:
+            groups.setdefault((t.height, t.width), []).append(t)
+
+        def read_tile(t: TileWindow):
+            res = read_fits_crop(cfg.image_path, t.xmin, t.xmax,
+                                 t.ymin, t.ymax, strip_deg_axis=True)
+            if res is None:
+                return None
+            data = res[0]
+            return np.asarray(data, np.float32)[:, :, None] \
+                if data.ndim == 2 else np.asarray(data, np.float32)
+
+        results = []
+        with ThreadPoolExecutor(max_workers=8) as pool:
+            for (h, w), group in groups.items():
+                batches = [group[i:i + batch]
+                           for i in range(0, len(group), batch)]
+                # prefetch reads one batch ahead of device compute
+                futures = [pool.map(read_tile, b) for b in batches]
+                pending = []  # (batch_tiles, device outputs)
+                for tile_batch, reads in zip(batches, futures):
+                    datas = list(reads)
+                    ok_idx = [i for i, d in enumerate(datas)
+                              if d is not None]
+                    for i, d in enumerate(datas):
+                        if d is None:
+                            self.report.tile_errors.append(
+                                (tile_batch[i].tid, "read failed"))
+                            logger.error("Failed to read tile %d, skipping",
+                                         tile_batch[i].tid)
+                    arr = np.zeros((batch, h, w, 1), np.float32)
+                    for k, i in enumerate(ok_idx):
+                        arr[k] = datas[i]
+                    pending.append(
+                        ([tile_batch[i] for i in ok_idx],
+                         engine.process_async(arr)))
+                for kept_tiles, outs in pending:
+                    boxes, scores, cls, valid, tile_ok = (
+                        np.asarray(o) for o in outs)
+                    for k, t in enumerate(kept_tiles):
+                        if not tile_ok[k]:
+                            continue
+                        results.append(self._tile_objects(
+                            t, boxes[k][valid[k]], scores[k][valid[k]],
+                            cls[k][valid[k]],
+                            neighbor_ids=None))
+        # attach neighbor ids
+        nb = neighbor_table(tiles)
+        for tr in results:
+            tr["neighborTileIds"] = nb[tr["tileId"]]
+        return results
+
+    def _tile_objects(self, t: TileWindow, boxes, scores, cls, neighbor_ids):
+        cfg = self.config
+        boxes, scores, cls = merge_detections(
+            boxes, scores, cls,
+            soft_thr=cfg.merge_overlap_iou_thr_soft,
+            hard_thr=cfg.merge_overlap_iou_thr_hard)
+        objs = make_objects(boxes, scores, cls,
+                            image_shape=(t.height, t.width),
+                            xmin=t.xmin, ymin=t.ymin,
+                            name_tag=f"t{t.tid}",
+                            class_names=cfg.class_names)
+        if cfg.save_tile_catalog:
+            write_json(make_json_results(self.image_id, objs),
+                       f"catalog_{self.image_id}_tid{t.tid}.json")
+        if cfg.save_tile_region:
+            write_ds9_regions(objs,
+                              f"catalog_{self.image_id}_tid{t.tid}.reg")
+        return {"objs": objs, "tileId": t.tid, "workerId": 0,
+                "neighborTileIds": neighbor_ids or [],
+                "xmin": t.xmin, "xmax": t.xmax,
+                "ymin": t.ymin, "ymax": t.ymax}
+
+    # -- output --------------------------------------------------------------
+
+    def save(self):
+        """Write the mosaic catalog + DS9 regions
+        (reference inference.py:1167-1287)."""
+        cfg = self.config
+        if cfg.save_catalog:
+            out = cfg.outfile_json or f"catalog_{self.image_id}.json"
+            write_json(self.sources, out)
+            logger.info("Wrote catalog %s", out)
+        if cfg.save_region:
+            out = cfg.outfile_ds9 or f"ds9_{self.image_id}.reg"
+            write_ds9_regions(self.sources["sources"], out)
+            logger.info("Wrote regions %s", out)

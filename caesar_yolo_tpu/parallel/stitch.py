@@ -1,0 +1,104 @@
+"""Cross-tile edge flagging and duplicate-source stitching (host side).
+
+Reproduces the reference's master-rank stitch semantics exactly
+(reference inference.py:663-726 find_sources_at_edge and :731-931
+merge_edge_sources): non-edge sources pass through; edge sources form a
+graph with edges between bbox-overlapping sources in neighboring tiles;
+each connected component collapses to one source — singletons pass
+through, multi-member components get the enclosing bbox with class/score
+inherited from the largest-area member and edge/merged flags set; the
+final list is renamed S1..SN.
+
+N here is the number of edge detections of a whole mosaic (small), so
+this is plain numpy + union-find on host.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from caesar_yolo_tpu.utils.boxes import get_merged_bbox
+from caesar_yolo_tpu.utils.tiling import TileWindow
+from caesar_yolo_tpu.utils.unionfind import connected_components
+
+
+def flag_edge_sources(objs: list[dict], tile: TileWindow,
+                      neighbors: list[TileWindow]) -> None:
+    """Set obj['edge']=True for sources at tile bounds or inside a
+    neighbor tile's overlap region (reference inference.py:686-726).
+    Coordinates are mosaic-frame; never clears an existing flag."""
+    for obj in objs:
+        x1, x2, y1, y2 = obj["x1"], obj["x2"], obj["y1"], obj["y2"]
+        if (x1 == tile.xmin or x2 == tile.xmax
+                or y1 == tile.ymin or y2 == tile.ymax):
+            obj["edge"] = True
+            continue
+        for nb in neighbors:
+            not_olap = (x2 < nb.xmin or x1 > nb.xmax
+                        or y2 < nb.ymin or y1 > nb.ymax)
+            if not not_olap:
+                obj["edge"] = True
+                break
+
+
+def stitch_tile_sources(tile_results: list[dict]) -> dict:
+    """Merge per-tile catalogs into the final mosaic source list.
+
+    tile_results: per-tile dicts with keys objs (catalog objects in
+    mosaic coords, edge flags set), tileId, neighborTileIds — the gather
+    payload schema of the reference (inference.py:243-255).
+    Returns {"sources": [...]} with S1..SN naming.
+    """
+    sources: list[dict] = []
+    edge_refs: list[tuple[int, int]] = []  # (tile_index, obj_index)
+    for t_idx, tile_data in enumerate(tile_results):
+        for s_idx, obj in enumerate(tile_data["objs"]):
+            if not obj.get("edge"):
+                obj = dict(obj)
+                obj["merged"] = False
+                sources.append(obj)
+            else:
+                edge_refs.append((t_idx, s_idx))
+
+    n = len(edge_refs)
+    edges = []
+    for i in range(n):
+        t_i, s_i = edge_refs[i]
+        src = tile_results[t_i]["objs"][s_i]
+        nb_tids = tile_results[t_i]["neighborTileIds"]
+        for j in range(i + 1, n):
+            t_j, s_j = edge_refs[j]
+            if tile_results[t_j]["tileId"] not in nb_tids:
+                continue
+            other = tile_results[t_j]["objs"][s_j]
+            not_olap = (src["x2"] < other["x1"] or src["x1"] > other["x2"]
+                        or src["y2"] < other["y1"] or src["y1"] > other["y2"])
+            if not not_olap:
+                edges.append((i, j))
+
+    for comp in connected_components(n, edges) if n else []:
+        if len(comp) == 1:
+            t_i, s_i = edge_refs[comp[0]]
+            obj = dict(tile_results[t_i]["objs"][s_i])
+            obj["merged"] = False
+            sources.append(obj)
+            continue
+        members = [tile_results[t]["objs"][s]
+                   for t, s in (edge_refs[k] for k in comp)]
+        areas = [(m["x2"] - m["x1"]) * (m["y2"] - m["y1"]) for m in members]
+        largest = members[int(np.argmax(areas))]
+        x1, y1, x2, y2 = get_merged_bbox(
+            [(m["x1"], m["y1"], m["x2"], m["y2"]) for m in members])
+        sources.append({
+            "name": "merged",
+            "x1": float(x1), "x2": float(x2),
+            "y1": float(y1), "y2": float(y2),
+            "edge": True, "merged": True,
+            "score": largest["score"],
+            "class_name": largest["class_name"],
+            "class_id": largest["class_id"],
+        })
+
+    for i, obj in enumerate(sources):
+        obj["name"] = f"S{i + 1}"
+    return {"sources": sources}

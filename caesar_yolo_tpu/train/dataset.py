@@ -1,0 +1,186 @@
+"""YOLO-format detection dataset loading (host side).
+
+Reads the ultralytics dataset layout the reference trains on
+(reference macros/run_train.py:21 `data=dataset.yaml`; label format as
+parsed by reference macros/make_prediction.py:580-626): a YAML root with
+train/val image directories, one `labels/<stem>.txt` per image with
+normalized `class cx cy w h` rows.
+
+Produces fixed-shape batches (images letterboxed to the train size, gt
+boxes padded to max_gt with a mask) ready for the jitted train step.
+PNG/JPEG/FITS images are read with the first-party readers — no torch
+dataloader, no cv2.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+
+from caesar_yolo_tpu import logger
+from caesar_yolo_tpu.detect.letterbox import letterbox_geometry
+from caesar_yolo_tpu.utils.fits import read_fits, read_image
+
+IMG_EXTS = (".png", ".jpg", ".jpeg", ".fits")
+
+
+def parse_dataset_yaml(path: str) -> dict:
+    """Minimal YAML subset parser for ultralytics dataset files
+    (flat `key: value` plus a `names:` block)."""
+    out: dict = {}
+    names: dict = {}
+    in_names = False
+    with open(path) as f:
+        for line in f:
+            if not line.strip() or line.strip().startswith("#"):
+                continue
+            if re.match(r"^names\s*:", line):
+                in_names = True
+                continue
+            m = re.match(r"^\s+(\d+)\s*:\s*(.+)$", line)
+            if in_names and m:
+                names[int(m.group(1))] = m.group(2).strip().strip("'\"")
+                continue
+            in_names = False
+            m = re.match(r"^(\w+)\s*:\s*(.+)$", line)
+            if m:
+                out[m.group(1)] = m.group(2).strip().strip("'\"")
+    if names:
+        out["names"] = [names[i] for i in sorted(names)]
+    return out
+
+
+def _label_path(img_path: str) -> str:
+    base, _ = os.path.splitext(img_path)
+    return (base.replace(f"{os.sep}images{os.sep}",
+                         f"{os.sep}labels{os.sep}") + ".txt")
+
+
+def list_images(directory: str) -> list[str]:
+    out = []
+    for root, _, files in os.walk(directory):
+        for f in sorted(files):
+            if os.path.splitext(f)[1].lower() in IMG_EXTS:
+                out.append(os.path.join(root, f))
+    return out
+
+
+def load_sample(img_path: str, img_size: int, max_gt: int):
+    """-> (image [S, S, C] f32 in [0,1], labels [M], boxes [M, 4] xyxy px
+    in the letterboxed frame, mask [M]) or None on read failure."""
+    ext = os.path.splitext(img_path)[1].lower()
+    if ext == ".fits":
+        res = read_fits(img_path)
+        if res is None:
+            return None
+        img = np.asarray(res[0], np.float32)
+    else:
+        img = read_image(img_path)
+        if img is None:
+            return None
+        img = np.asarray(img, np.float32)
+        if img.max() > 1.5:
+            img = img / 255.0
+    if img.ndim == 2:
+        img = img[:, :, None]
+    if img.shape[-1] == 1:
+        img = np.repeat(img, 3, axis=-1)
+    h, w = img.shape[:2]
+
+    r, nh, nw, top, left = letterbox_geometry(h, w, img_size)
+    out = np.full((img_size, img_size, img.shape[-1]), 114 / 255.0,
+                  np.float32)
+    if (nh, nw) != (h, w):
+        yi = (np.arange(nh) + 0.5) / r - 0.5
+        xi = (np.arange(nw) + 0.5) / r - 0.5
+        yi = np.clip(yi, 0, h - 1)
+        xi = np.clip(xi, 0, w - 1)
+        y0 = np.floor(yi).astype(int)
+        x0 = np.floor(xi).astype(int)
+        y1 = np.minimum(y0 + 1, h - 1)
+        x1 = np.minimum(x0 + 1, w - 1)
+        fy = (yi - y0)[:, None, None]
+        fx = (xi - x0)[None, :, None]
+        resized = (img[y0][:, x0] * (1 - fy) * (1 - fx)
+                   + img[y0][:, x1] * (1 - fy) * fx
+                   + img[y1][:, x0] * fy * (1 - fx)
+                   + img[y1][:, x1] * fy * fx)
+    else:
+        resized = img
+    out[top:top + nh, left:left + nw] = resized
+
+    labels = np.zeros((max_gt,), np.int32)
+    boxes = np.zeros((max_gt, 4), np.float32)
+    mask = np.zeros((max_gt,), bool)
+    lpath = _label_path(img_path)
+    if os.path.exists(lpath):
+        rows = []
+        with open(lpath) as f:
+            for line in f:
+                parts = line.split()
+                if len(parts) >= 5:
+                    rows.append([float(v) for v in parts[:5]])
+        for i, (cid, cx, cy, bw, bh) in enumerate(rows[:max_gt]):
+            x1 = (cx - bw / 2) * w * r + left
+            y1 = (cy - bh / 2) * h * r + top
+            x2 = (cx + bw / 2) * w * r + left
+            y2 = (cy + bh / 2) * h * r + top
+            labels[i] = int(cid)
+            boxes[i] = [x1, y1, x2, y2]
+            mask[i] = True
+        if len(rows) > max_gt:
+            logger.warning("%s: %d gt boxes truncated to max_gt=%d",
+                           img_path, len(rows), max_gt)
+    return out, labels, boxes, mask
+
+
+class DetectionDataset:
+    """Iterable of fixed-shape train batches with threaded prefetch."""
+
+    def __init__(self, image_dir_or_yaml: str, *, img_size: int = 640,
+                 batch_size: int = 16, max_gt: int = 64, split: str = "train",
+                 shuffle: bool = True, seed: int = 0, workers: int = 8):
+        if image_dir_or_yaml.endswith((".yaml", ".yml")):
+            spec = parse_dataset_yaml(image_dir_or_yaml)
+            root = spec.get("path", os.path.dirname(image_dir_or_yaml))
+            rel = spec.get(split, split)
+            directory = rel if os.path.isabs(rel) else os.path.join(root, rel)
+            self.class_names = spec.get("names")
+        else:
+            directory = image_dir_or_yaml
+            self.class_names = None
+        self.paths = list_images(directory)
+        if not self.paths:
+            raise FileNotFoundError(f"no images under {directory}")
+        self.img_size = img_size
+        self.batch_size = batch_size
+        self.max_gt = max_gt
+        self.shuffle = shuffle
+        self.rng = np.random.default_rng(seed)
+        self.workers = workers
+
+    def __len__(self):
+        return len(self.paths) // self.batch_size
+
+    def __iter__(self):
+        order = np.arange(len(self.paths))
+        if self.shuffle:
+            self.rng.shuffle(order)
+        with ThreadPoolExecutor(max_workers=self.workers) as pool:
+            for i in range(0, len(order) - self.batch_size + 1,
+                           self.batch_size):
+                idx = order[i:i + self.batch_size]
+                samples = list(pool.map(
+                    lambda j: load_sample(self.paths[j], self.img_size,
+                                          self.max_gt), idx))
+                samples = [s for s in samples if s is not None]
+                if not samples:
+                    continue
+                while len(samples) < self.batch_size:
+                    samples.append(samples[0])  # pad short batch
+                imgs, labels, boxes, masks = (np.stack(x) for x in
+                                              zip(*samples))
+                yield imgs, labels, boxes, masks

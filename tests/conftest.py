@@ -14,6 +14,13 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 
+import jax  # noqa: E402
+
+# A sitecustomize hook in this image force-registers the experimental TPU
+# plugin and overrides JAX_PLATFORMS; pin the config back to CPU so the
+# virtual 8-device mesh is what tests actually run on.
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -1,0 +1,82 @@
+"""Completeness/reliability/F1 metric tests (reference counting rules)."""
+
+import numpy as np
+
+from caesar_yolo_tpu.evaluation import (
+    compute_completeness,
+    compute_metrics,
+    compute_reliability,
+    read_yolo_labels,
+)
+
+
+def _img(gt_boxes, gt_labels, pred_boxes, pred_labels, scores=None):
+    gt = {"bboxes": np.asarray(gt_boxes, float).reshape(-1, 4),
+          "labels": list(gt_labels)}
+    pred = {"bboxes": np.asarray(pred_boxes, float).reshape(-1, 4),
+            "labels": list(pred_labels),
+            "scores": scores or [0.9] * len(pred_labels)}
+    return gt, pred
+
+
+def test_completeness_perfect_match():
+    gt, pred = _img([[0, 0, 10, 10]], ["compact"],
+                    [[0, 0, 10, 10]], ["compact"])
+    c = compute_completeness([gt], [pred])
+    assert c["source"].n == 1 and c["source"].n_matched == 1
+    assert c["compact"].ratio == 1.0
+
+
+def test_completeness_cross_class_source_match_counts():
+    """A compact gt matched best by an 'extended' prediction still counts
+    as detected (real-source label rule, make_prediction.py:396-398)."""
+    gt, pred = _img([[0, 0, 10, 10]], ["compact"],
+                    [[0, 0, 10, 10]], ["extended"])
+    c = compute_completeness([gt], [pred])
+    assert c["source"].n_matched == 1
+    assert c["compact"].n_matched == 1
+
+
+def test_completeness_spurious_needs_same_label():
+    gt, pred = _img([[0, 0, 10, 10]], ["spurious"],
+                    [[0, 0, 10, 10]], ["compact"])
+    c = compute_completeness([gt], [pred])
+    assert c["spurious"].n == 1 and c["spurious"].n_matched == 0
+
+
+def test_completeness_iou_threshold():
+    gt, pred = _img([[0, 0, 10, 10]], ["compact"],
+                    [[5, 5, 15, 15]], ["compact"])  # IoU ~0.19 < 0.6
+    c = compute_completeness([gt], [pred])
+    assert c["source"].n_matched == 0
+
+
+def test_reliability_false_positive():
+    gt, pred = _img([[0, 0, 10, 10]], ["compact"],
+                    [[0, 0, 10, 10], [50, 50, 60, 60]],
+                    ["compact", "extended"])
+    r = compute_reliability([gt], [pred])
+    assert r["source"].n == 2 and r["source"].n_matched == 1
+    assert r["extended"].ratio == 0.0
+
+
+def test_f1_formula():
+    gt, pred = _img([[0, 0, 10, 10], [20, 20, 30, 30]],
+                    ["compact", "compact"],
+                    [[0, 0, 10, 10]], ["compact"])
+    rep = compute_metrics([gt], [pred])
+    c, r = 0.5, 1.0
+    assert rep.f1["source"] == 2 * c * r / (c + r)
+    assert "C=" in rep.summary() and "F1=" in rep.summary()
+
+
+def test_read_yolo_labels(tmp_path):
+    p = tmp_path / "img.txt"
+    p.write_text("1 0.5 0.5 0.2 0.4\n2 0.25 0.25 0.1 0.1\n")
+    out = read_yolo_labels(str(p), 100, 200,
+                           ["spurious", "compact", "extended"])
+    np.testing.assert_allclose(out["bboxes"][0], [40, 60, 60, 140])
+    assert out["labels"] == ["compact", "extended"]
+    # missing file -> empty
+    out = read_yolo_labels(str(tmp_path / "nope.txt"), 10, 10, [])
+    assert len(out["labels"]) == 0

@@ -257,8 +257,10 @@ def test_chan3_transformer(rng):
 
 def test_pipeline_order_and_composition(rng):
     x = mkimg(rng)
-    # shift by min then minmax == minmax alone on valid pixels
-    p = T.Pipeline([T.min_shifter(), T.min_max_normalizer()])
+    # scaling then minmax == minmax alone (scale is normalized away; a
+    # min-shift would NOT compose like this because the shifted minimum
+    # becomes 0 and joins the masked set — the reference convention)
+    p = T.Pipeline([T.scaler([2.0]), T.min_max_normalizer()])
     out, valid = p(x)
     assert bool(valid)
     ref, _ = T.min_max_normalizer()(x)

@@ -1,0 +1,146 @@
+"""Distribution-layer tests: stitch semantics, mesh-sharded tile engine,
+tiled SFinder end-to-end on the 8-device virtual CPU mesh."""
+
+import json
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from caesar_yolo_tpu.parallel import (
+    SFinder,
+    SFinderConfig,
+    TileEngine,
+    flag_edge_sources,
+    make_mesh,
+    stitch_tile_sources,
+)
+from caesar_yolo_tpu.models.yolo import build_model, init_params
+from caesar_yolo_tpu.utils.tiling import TileWindow
+
+
+def obj(name, x1, y1, x2, y2, cls=1, score=0.5, edge=False):
+    return {"name": name, "x1": float(x1), "x2": float(x2),
+            "y1": float(y1), "y2": float(y2), "class_id": cls,
+            "class_name": ["spurious", "compact", "extended"][cls],
+            "score": score, "edge": edge}
+
+
+def test_flag_edge_at_tile_bounds():
+    tile = TileWindow(0, 256, 0, 256, tid=0)
+    objs = [obj("a", 0, 10, 20, 30), obj("b", 50, 50, 80, 80),
+            obj("c", 100, 200, 120, 256)]
+    flag_edge_sources(objs, tile, [])
+    assert objs[0]["edge"] and not objs[1]["edge"] and objs[2]["edge"]
+
+
+def test_flag_edge_in_overlap_region():
+    tile = TileWindow(0, 256, 0, 256, tid=0)
+    nb = TileWindow(200, 456, 0, 256, tid=1)  # overlaps x in [200, 256)
+    objs = [obj("a", 150, 50, 190, 80), obj("b", 210, 50, 240, 80)]
+    flag_edge_sources(objs, tile, [nb])
+    assert not objs[0]["edge"] and objs[1]["edge"]
+
+
+def test_stitch_passthrough_and_merge():
+    t0 = {"objs": [obj("S1_t0", 10, 10, 40, 40),                  # interior
+                   obj("S2_t0", 240, 100, 256, 130, edge=True,
+                       score=0.9, cls=2)],                        # edge
+          "tileId": 0, "neighborTileIds": [1], "workerId": 0}
+    t1 = {"objs": [obj("S1_t1", 250, 105, 280, 128, edge=True,
+                       score=0.4, cls=1)],                        # edge, olap
+          "tileId": 1, "neighborTileIds": [0], "workerId": 0}
+    out = stitch_tile_sources([t0, t1])
+    srcs = out["sources"]
+    assert [s["name"] for s in srcs] == ["S1", "S2"]
+    interior = srcs[0]
+    assert interior["merged"] is False and interior["x1"] == 10
+    merged = srcs[1]
+    assert merged["merged"] and merged["edge"]
+    # enclosing bbox of both members
+    assert (merged["x1"], merged["y1"], merged["x2"], merged["y2"]) == \
+        (240, 100, 280, 130)
+    # class/score from LARGEST AREA member (t0's: 16x30=480 vs t1's 30x23=690)
+    assert merged["score"] == 0.4 and merged["class_id"] == 1
+
+
+def test_stitch_singleton_edge_source_passthrough():
+    t0 = {"objs": [obj("S1_t0", 240, 100, 255, 130, edge=True, score=0.9)],
+          "tileId": 0, "neighborTileIds": [1], "workerId": 0}
+    t1 = {"objs": [], "tileId": 1, "neighborTileIds": [0], "workerId": 0}
+    out = stitch_tile_sources([t0, t1])
+    assert len(out["sources"]) == 1
+    assert out["sources"][0]["merged"] is False
+    assert out["sources"][0]["edge"] is True
+
+
+def test_stitch_non_neighbor_tiles_never_merge():
+    # same overlapping coords but tiles are not neighbors
+    t0 = {"objs": [obj("a", 0, 0, 30, 30, edge=True)],
+          "tileId": 0, "neighborTileIds": [], "workerId": 0}
+    t1 = {"objs": [obj("b", 10, 10, 40, 40, edge=True)],
+          "tileId": 5, "neighborTileIds": [], "workerId": 0}
+    out = stitch_tile_sources([t0, t1])
+    assert len(out["sources"]) == 2
+    assert all(not s["merged"] for s in out["sources"])
+
+
+@pytest.fixture(scope="module")
+def tiny_model():
+    m = build_model("yolov8n", num_classes=5)
+    return m, init_params(m, seed=0)
+
+
+def test_engine_sharded_over_mesh(tiny_model):
+    """The tile batch shards over all 8 virtual devices and results match
+    the unsharded run."""
+    m, p = tiny_model
+    assert len(jax.devices()) == 8
+    mesh = make_mesh()
+    engine = TileEngine(m, p, mesh=mesh, img_size=64, score_thr=1e-4,
+                        compute_dtype=jnp.float32)
+    rng = np.random.default_rng(3)
+    tiles = rng.random((8, 48, 48, 1), dtype=np.float32)
+    out_sharded = engine.process(tiles)
+
+    engine1 = TileEngine(m, p, mesh=None, img_size=64, score_thr=1e-4,
+                         compute_dtype=jnp.float32)
+    out_single = engine1.process(tiles)
+    for a, b in zip(out_sharded, out_single):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+
+def test_engine_invalid_tiles_masked(tiny_model):
+    m, p = tiny_model
+    engine = TileEngine(m, p, img_size=64, score_thr=1e-4,
+                        compute_dtype=jnp.float32)
+    tiles = np.random.default_rng(0).random((2, 48, 48, 1), dtype=np.float32)
+    tiles[1] = 0.0  # degenerate tile
+    boxes, scores, cls, valid, tile_ok = engine.process(tiles)
+    assert tile_ok.tolist() == [True, False]
+    assert not valid[1].any()
+
+
+def test_sfinder_tiled_end_to_end(tmp_path, tiny_model, galaxy_fits_path,
+                                  monkeypatch):
+    m, p = tiny_model
+    monkeypatch.chdir(tmp_path)
+    cfg = SFinderConfig(
+        image_path=galaxy_fits_path, image_xmin=-1, image_xmax=-1,
+        image_ymin=-1, image_ymax=-1, img_size=64, score_thr=1e-4,
+        split_image_in_tiles=True, tile_xsize=80, tile_ysize=80,
+        tile_xstep=0.5, tile_ystep=0.5, batch_size=8,
+        save_tile_catalog=True)
+    sf = SFinder(m, p, cfg, mesh=make_mesh(),
+                 engine_kwargs={"compute_dtype": jnp.float32})
+    assert sf.run_tiled() == 0
+    cat = json.loads((tmp_path / "catalog_galaxy0001.json").read_text())
+    assert "sources" in cat
+    for s in cat["sources"]:
+        assert {"name", "x1", "x2", "y1", "y2", "class_id", "class_name",
+                "score", "edge", "merged"} <= set(s)
+    assert (tmp_path / "ds9_galaxy0001.reg").exists()
+    # overlapping grid on 132x132 with 80px tiles, step 0.5 (=40px):
+    # starts 0/40/80/120 per axis -> 4x4 = 16 tiles
+    assert sf.report.n_tiles == 16
