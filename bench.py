@@ -1,9 +1,18 @@
 """Benchmark: end-to-end tile detection throughput on one chip.
 
 Measures the full per-tile pipeline (zscale+minmax preprocessing ->
-letterbox -> YOLOv8 forward (bfloat16) -> DFL decode -> NMS) on batched
-640px tiles — the reference pipeline's hot path (reference
+letterbox -> YOLO forward (bfloat16) -> DFL decode -> fixed-shape NMS) on
+batched 640px tiles — the reference pipeline's hot path (reference
 evaluation.py:128-346) — and prints ONE JSON line.
+
+Measurement notes:
+  - Inputs are device-resident: this harness reaches the chip through a
+    network relay at ~44 MB/s (an environment artifact); production hosts
+    feed tiles over PCIe/DMA overlapped with compute.
+  - Iterations are serialized by threading a zero-scaled dependency on the
+    previous step's outputs back into the next input, with a final host
+    readback — the experimental backend's block_until_ready is unreliable
+    for timing async dispatches.
 
 Baseline: the reference publishes no throughput numbers (SURVEY.md §6);
 vs_baseline is computed against the driver's north-star target of
@@ -23,38 +32,48 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 def main():
     import jax
     import jax.numpy as jnp
-    from caesar_yolo_tpu.models.yolo import build_model, init_params
+    from caesar_yolo_tpu.detect.letterbox import letterbox_batch, \
+        unletterbox_boxes
+    from caesar_yolo_tpu.detect.nms import nms_batch
+    from caesar_yolo_tpu.models.yolo import build_model, decode_dfl, \
+        init_params
     from caesar_yolo_tpu.ops import build_preprocessor
-    from caesar_yolo_tpu.parallel import TileEngine
+    from caesar_yolo_tpu.parallel.engine import fuse_model_params
 
     model_name = os.environ.get("BENCH_MODEL", "yolov8n")
     img_size = int(os.environ.get("BENCH_IMGSZ", "640"))
-    batch = int(os.environ.get("BENCH_BATCH", "16"))
+    batch = int(os.environ.get("BENCH_BATCH", "64"))
     iters = int(os.environ.get("BENCH_ITERS", "20"))
 
     model = build_model(model_name, num_classes=5)
-    params = init_params(model, seed=0)
+    params = jax.device_put(fuse_model_params(model, init_params(model, 0)))
     preproc = build_preprocessor(zscale_stretch=True, normalize_minmax=True)
-    engine = TileEngine(model, params, preprocessor=preproc,
-                        img_size=img_size, score_thr=0.7,
-                        compute_dtype=jnp.bfloat16)
+
+    @jax.jit
+    def step(params, tiles):
+        imgs, ok = jax.vmap(preproc.apply)(tiles)
+        imgs = jnp.repeat(imgs, 3, axis=-1)
+        x = letterbox_batch(imgs, img_size).astype(jnp.bfloat16)
+        raw = model(params, x)
+        boxes, scores = decode_dfl(raw, img_size)
+        b, s, c, v = nms_batch(boxes, scores, conf_thr=0.7, iou_thr=0.5)
+        b = unletterbox_boxes(b, img_size, img_size, img_size)
+        # zero-scaled dependency serializes chained iterations
+        dep = (jnp.sum(b) + jnp.sum(s)) * 0.0
+        return tiles + dep.astype(tiles.dtype)
 
     rng = np.random.default_rng(0)
-    tiles_host = rng.random((batch, img_size, img_size, 1), dtype=np.float32)
-    # Device-resident input: measures the chip pipeline.  (This harness
-    # reaches the chip through a network relay at ~44 MB/s, an environment
-    # artifact; production hosts feed tiles over PCIe/DMA and overlap the
-    # copy with compute, so per-step host transfers are excluded.)
-    tiles = jax.device_put(jnp.asarray(tiles_host))
+    tiles = jax.device_put(jnp.asarray(
+        rng.random((batch, img_size, img_size, 1), dtype=np.float32)))
 
-    # compile + warmup
-    out = engine.process_async(tiles)
-    jax.block_until_ready(out)
+    out = step(params, tiles)                      # compile
+    _ = np.asarray(out[0, 0, 0, 0])                # sync
 
     t0 = time.perf_counter()
+    x = tiles
     for _ in range(iters):
-        out = engine.process_async(tiles)
-    jax.block_until_ready(out)
+        x = step(params, x)
+    _ = np.asarray(x[0, 0, 0, 0])                  # force completion
     dt = time.perf_counter() - t0
 
     tiles_per_sec = batch * iters / dt

@@ -1,0 +1,70 @@
+"""Dataset evaluation entry point (the reference's make_prediction macro).
+
+    python -m caesar_yolo_tpu.cli.evaluate --weights=W.npz \
+        --filelist=imgs.txt [--label_dir=labels/] [preproc flags...]
+
+Computes completeness / reliability / F1 with the reference's IoU>=0.6
+matching rules (reference macros/make_prediction.py:553-694).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="caesar-yolo-tpu evaluation")
+    p.add_argument("--weights", required=True)
+    p.add_argument("--model", default="")
+    p.add_argument("--filelist", required=True,
+                   help="text file with one image path per line")
+    p.add_argument("--label_dir", default="",
+                   help="directory of YOLO-format label txts (default: "
+                        "sibling labels/ dirs)")
+    p.add_argument("--imgsize", type=int, default=640)
+    p.add_argument("--scoreThr", type=float, default=0.25)
+    p.add_argument("--iouThr_nms", type=float, default=0.5)
+    p.add_argument("--iouThr_match", type=float, default=0.6)
+    p.add_argument("--merge_overlap_iou_thr_soft", type=float, default=0.3)
+    p.add_argument("--merge_overlap_iou_thr_hard", type=float, default=0.8)
+    p.add_argument("--maxnimgs", type=int, default=-1)
+    p.add_argument("--preprocessing", action="store_true")
+    p.add_argument("--zscale_stretch", action="store_true")
+    p.add_argument("--normalize_minmax", action="store_true")
+    p.add_argument("--chan3_preproc", action="store_true")
+    p.add_argument("--sigma_clip_low", type=float, default=1.0)
+    p.add_argument("--sigma_clip_up", type=float, default=20.0)
+    return p.parse_args(argv)
+
+
+def main(argv=None) -> int:
+    args = parse_args(argv)
+    from caesar_yolo_tpu.cli.run import load_model_and_params
+    from caesar_yolo_tpu.detect.predictor import Predictor
+    from caesar_yolo_tpu.evaluation import evaluate_dataset
+    from caesar_yolo_tpu.ops import build_preprocessor
+
+    model, params = load_model_and_params(args)
+    preproc = None
+    if args.preprocessing:
+        preproc = build_preprocessor(
+            zscale_stretch=args.zscale_stretch,
+            normalize_minmax=args.normalize_minmax,
+            chan3_preproc=args.chan3_preproc,
+            sigma_clip_low=args.sigma_clip_low,
+            sigma_clip_up=args.sigma_clip_up)
+    predictor = Predictor(model, params, img_size=args.imgsize,
+                          score_thr=args.scoreThr, iou_thr=args.iouThr_nms)
+    report = evaluate_dataset(
+        predictor, args.filelist,
+        label_dir=args.label_dir or None, preprocessor=preproc,
+        soft_merge_thr=args.merge_overlap_iou_thr_soft,
+        hard_merge_thr=args.merge_overlap_iou_thr_hard,
+        iou_thr=args.iouThr_match, max_images=args.maxnimgs)
+    print(report.summary())
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -108,6 +108,15 @@ def parse_args(argv=None):
 
 def validate_args(args) -> int:
     """Reference validation rules (scripts/run.py:158-190)."""
+    if args.datalist:
+        if not os.path.isfile(args.datalist):
+            logger.error("Datalist %s not existing!", args.datalist)
+            return -1
+        if not args.weights or not os.path.isfile(args.weights):
+            logger.error("Given weight file %s not existing or not a file!",
+                         args.weights)
+            return -1
+        return 0
     if not args.image:
         logger.error("Argument --image is required for detect task!")
         return -1
@@ -199,6 +208,23 @@ def main(argv=None) -> int:
         outfile_ds9=args.detect_outfile)
 
     mesh = make_mesh() if args.split_img_in_tiles else None
+
+    if args.datalist:
+        from dataclasses import replace
+        images = [p.strip() for p in open(args.datalist) if p.strip()]
+        if args.maxnimgs > 0:
+            images = images[:args.maxnimgs]
+        status = 0
+        for path in images:
+            icfg = replace(cfg, image_path=path)
+            sf = SFinder(model, params, icfg, preprocessor=preproc,
+                         mesh=mesh)
+            rc = sf.run_tiled() if args.split_img_in_tiles else sf.run()
+            if rc != 0:
+                logger.error("Detection failed on %s, continuing", path)
+                status = 1
+        return status
+
     sf = SFinder(model, params, cfg, preprocessor=preproc, mesh=mesh)
     rc = sf.run_tiled() if args.split_img_in_tiles else sf.run()
     return 0 if rc == 0 else 1

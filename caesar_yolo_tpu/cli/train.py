@@ -1,0 +1,106 @@
+"""Training entry point (the reference's run_train macro, TPU-native).
+
+Reference macros/run_train.py:11-45 builds yolov8l from scratch and
+delegates everything to ultralytics `model.train` with DDP over 4 GPUs.
+Here the explicit trainer runs data-parallel over ALL visible TPU chips
+with the same published hyper-parameters and the reference's
+augmentation config (degrees=180, flips=0.5, scale=0.89).
+
+    python -m caesar_yolo_tpu.cli.train --data=dataset.yaml \
+        --model=yolov8l --epochs=300 --batch=16 --imgsz=640
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from caesar_yolo_tpu import logger
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="caesar-yolo-tpu training")
+    p.add_argument("--data", required=True,
+                   help="dataset.yaml or train image directory")
+    p.add_argument("--model", default="yolov8l")
+    p.add_argument("--num_classes", type=int, default=5)
+    p.add_argument("--epochs", type=int, default=300)
+    p.add_argument("--batch", type=int, default=16)
+    p.add_argument("--imgsz", type=int, default=640)
+    p.add_argument("--lr0", type=float, default=0.01)
+    p.add_argument("--lrf", type=float, default=0.01)
+    p.add_argument("--weights", default="",
+                   help="initial weights (.npz) for fine-tuning")
+    p.add_argument("--checkpoint_dir", default="runs/train")
+    p.add_argument("--checkpoint_every", type=int, default=10)
+    p.add_argument("--max_gt", type=int, default=64)
+    p.add_argument("--degrees", type=float, default=180.0)
+    p.add_argument("--scale", type=float, default=0.89)
+    p.add_argument("--flipud", type=float, default=0.5)
+    p.add_argument("--fliplr", type=float, default=0.5)
+    p.add_argument("--no_augment", action="store_true")
+    p.add_argument("--seed", type=int, default=0)
+    return p.parse_args(argv)
+
+
+def main(argv=None) -> int:
+    args = parse_args(argv)
+
+    import jax
+    import numpy as np
+    from caesar_yolo_tpu.models.convert import load_params
+    from caesar_yolo_tpu.models.yolo import build_model, init_params
+    from caesar_yolo_tpu.parallel.mesh import make_mesh
+    from caesar_yolo_tpu.train import TrainConfig, Trainer
+    from caesar_yolo_tpu.train.augment import augment_batch
+    from caesar_yolo_tpu.train.dataset import DetectionDataset
+
+    model = build_model(args.model, num_classes=args.num_classes)
+    if args.weights:
+        params, _ = load_params(args.weights)
+        logger.info("Fine-tuning from %s", args.weights)
+    else:
+        params = init_params(model, seed=args.seed)
+
+    n_dev = len(jax.devices())
+    batch = max(args.batch, n_dev)
+    batch = ((batch + n_dev - 1) // n_dev) * n_dev
+    dataset = DetectionDataset(args.data, img_size=args.imgsz,
+                               batch_size=batch, max_gt=args.max_gt,
+                               seed=args.seed)
+    cfg = TrainConfig(epochs=args.epochs, batch_size=batch,
+                      img_size=args.imgsz, lr0=args.lr0, lrf=args.lrf,
+                      max_gt=args.max_gt)
+    mesh = make_mesh() if n_dev > 1 else None
+    trainer = Trainer(model, params, cfg, mesh=mesh,
+                      steps_per_epoch=max(len(dataset), 1))
+    logger.info("Training %s on %d device(s), %d batches/epoch",
+                args.model, n_dev, len(dataset))
+
+    key = jax.random.PRNGKey(args.seed)
+
+    def augmented(epoch):
+        nonlocal key
+        for imgs, labels, boxes, masks in dataset:
+            if args.no_augment:
+                yield imgs, labels, boxes, masks
+                continue
+            key, sub = jax.random.split(key)
+            aimgs, aboxes, amasks = augment_batch(
+                sub, imgs, boxes, masks, degrees=args.degrees,
+                scale=args.scale, flipud=args.flipud, fliplr=args.fliplr)
+            yield (np.asarray(aimgs), labels, np.asarray(aboxes),
+                   np.asarray(amasks))
+
+    for epoch in range(args.epochs):
+        trainer.fit(augmented(epoch), epochs=1,
+                    checkpoint_dir=None)
+        if args.checkpoint_dir and (epoch + 1) % args.checkpoint_every == 0:
+            trainer.save_checkpoint(args.checkpoint_dir, step=epoch + 1)
+    trainer.save_checkpoint(args.checkpoint_dir, step=args.epochs,
+                            name="last")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

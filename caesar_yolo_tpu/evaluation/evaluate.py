@@ -35,10 +35,10 @@ def _load(img_path: str):
     if img_path.endswith(".fits"):
         res = read_fits(img_path)
         return None if res is None else np.asarray(res[0], np.float32)
-    img = read_image(img_path)
-    if img is None:
+    res = read_image(img_path)
+    if res is None:
         return None
-    img = np.asarray(img, np.float32)
+    img = np.asarray(res[0], np.float32)
     return img / 255.0 if img.max() > 1.5 else img
 
 

@@ -46,6 +46,7 @@ from caesar_yolo_tpu.outputs.catalog import (
 from caesar_yolo_tpu.outputs.ds9 import write_ds9_regions
 from caesar_yolo_tpu.parallel.engine import TileEngine
 from caesar_yolo_tpu.parallel.stitch import flag_edge_sources, stitch_tile_sources
+from caesar_yolo_tpu.utils import fits_native
 from caesar_yolo_tpu.utils.fits import (
     beam_area_from_header,
     get_fits_header,
@@ -93,6 +94,10 @@ class SFinderConfig:
     outfile_json: str = ""
     outfile_ds9: str = ""
     class_names: tuple = CLASS_NAMES
+    # auxiliary subsystems (SURVEY.md §5 rebuild items)
+    profile_dir: str = ""      # write a jax.profiler trace of the run
+    resume: bool = False       # resume a crashed tiled run from the spool
+    spool_path: str = ""       # per-tile result spool (default: auto)
 
 
 @dataclass
@@ -154,10 +159,10 @@ class SFinder:
                 self.nx = int(self.header["NAXIS1"])
                 self.ny = int(self.header["NAXIS2"])
             else:
-                img = read_image(cfg.image_path)
-                if img is None:
+                res = read_image(cfg.image_path)
+                if res is None:
                     return -1
-                self.ny, self.nx = img.shape[:2]
+                self.ny, self.nx = res[0].shape[:2]
             self.xmin, self.ymin = 0, 0
             self.xmax, self.ymax = self.nx - 1, self.ny - 1
         if self.header is not None:
@@ -183,9 +188,10 @@ class SFinder:
                 return -1
             image_data, header, _ = res
         elif ext in (".png", ".jpg", ".jpeg"):
-            image_data = read_image(cfg.image_path)
-            if image_data is None:
+            res = read_image(cfg.image_path)
+            if res is None:
                 return -1
+            image_data = res[0]
         else:
             logger.error("Unsupported image format (%s) given!", ext)
             return -1
@@ -224,7 +230,20 @@ class SFinder:
 
     def run_tiled(self) -> int:
         """Tile the mosaic, run batched sharded inference, stitch, save
-        (reference inference.py:578-658 run_parallel)."""
+        (reference inference.py:578-658 run_parallel).
+
+        Crash resilience: completed tile results are spooled to disk as
+        they arrive; a rerun with resume=True skips finished tiles (the
+        reference has no such path — a failed run restarts from zero,
+        SURVEY.md §5).  With profile_dir set, the whole run is captured
+        as a jax.profiler trace."""
+        if self.config.profile_dir:
+            import jax
+            with jax.profiler.trace(self.config.profile_dir):
+                return self._run_tiled_impl()
+        return self._run_tiled_impl()
+
+    def _run_tiled_impl(self) -> int:
         t0 = time.time()
         cfg = self.config
         if os.path.splitext(cfg.image_path)[1] != ".fits":
@@ -239,6 +258,15 @@ class SFinder:
         if grid is None:
             return -1
         tiles = make_tile_windows(grid)
+        n_dev = int(np.prod(self.mesh.devices.shape)) if self.mesh else 1
+        per_worker = -(-len(tiles) // n_dev)
+        if per_worker > cfg.max_ntasks_per_worker:
+            # same guard as the reference (inference.py:1150-1160)
+            logger.error(
+                "Too many tasks per worker (%d > %d): increase tile size, "
+                "devices, or max_ntasks_per_worker!", per_worker,
+                cfg.max_ntasks_per_worker)
+            return -1
         neighbors = neighbor_table(tiles)
         self.report.n_tiles = len(tiles)
         logger.info("Split image %s into %d tiles (%dx%d, step %.2f/%.2f)",
@@ -276,15 +304,43 @@ class SFinder:
                     self.report.n_sources)
         return 0
 
+    def _spool_file(self) -> str:
+        return (self.config.spool_path
+                or f".{self.image_id}.tilespool.jsonl")
+
+    def _load_spool(self) -> dict:
+        """tid -> tile result dict from a previous crashed run."""
+        import json
+        done = {}
+        path = self._spool_file()
+        if not os.path.exists(path):
+            return done
+        try:
+            with open(path) as f:
+                for line in f:
+                    tr = json.loads(line)
+                    done[tr["tileId"]] = tr
+            logger.info("Resuming: %d tile results loaded from %s",
+                        len(done), path)
+        except Exception as e:
+            logger.warning("Ignoring unreadable spool %s (%s)", path, e)
+        return done
+
     def _detect_tiles(self, engine: TileEngine, tiles: list[TileWindow]):
         """Shape-grouped, batch-padded, prefetched tile detection."""
+        import json
         cfg = self.config
         n_dev = int(np.prod(self.mesh.devices.shape)) if self.mesh else 1
         batch = max(cfg.batch_size, n_dev)
         batch = ((batch + n_dev - 1) // n_dev) * n_dev
 
+        done = self._load_spool() if cfg.resume else {}
+        spool = open(self._spool_file(), "a" if cfg.resume else "w")
+
         groups: dict[tuple, list[TileWindow]] = {}
         for t in tiles:
+            if t.tid in done:
+                continue
             groups.setdefault((t.height, t.width), []).append(t)
 
         def read_tile(t: TileWindow):
@@ -296,16 +352,28 @@ class SFinder:
             return np.asarray(data, np.float32)[:, :, None] \
                 if data.ndim == 2 else np.asarray(data, np.float32)
 
+        def read_batch(tile_batch):
+            """Native GIL-free batch read when available; else threaded
+            python windowed reads."""
+            if fits_native.available():
+                wins = [(t.xmin, t.xmax, t.ymin, t.ymax)
+                        for t in tile_batch]
+                tiles_np = fits_native.read_tiles_batch(
+                    cfg.image_path, wins)
+                if tiles_np is not None:
+                    return [t[:, :, None] for t in tiles_np]
+            return list(pool.map(read_tile, tile_batch))
+
         results = []
         with ThreadPoolExecutor(max_workers=8) as pool:
             for (h, w), group in groups.items():
                 batches = [group[i:i + batch]
                            for i in range(0, len(group), batch)]
                 # prefetch reads one batch ahead of device compute
-                futures = [pool.map(read_tile, b) for b in batches]
+                futures = [pool.submit(read_batch, b) for b in batches]
                 pending = []  # (batch_tiles, device outputs)
-                for tile_batch, reads in zip(batches, futures):
-                    datas = list(reads)
+                for tile_batch, fut in zip(batches, futures):
+                    datas = fut.result()
                     ok_idx = [i for i, d in enumerate(datas)
                               if d is not None]
                     for i, d in enumerate(datas):
@@ -326,14 +394,24 @@ class SFinder:
                     for k, t in enumerate(kept_tiles):
                         if not tile_ok[k]:
                             continue
-                        results.append(self._tile_objects(
+                        tr = self._tile_objects(
                             t, boxes[k][valid[k]], scores[k][valid[k]],
                             cls[k][valid[k]],
-                            neighbor_ids=None))
+                            neighbor_ids=None)
+                        results.append(tr)
+                        spool.write(json.dumps(tr) + "\n")
+                    spool.flush()
+        spool.close()
+        results.extend(done.values())
         # attach neighbor ids
         nb = neighbor_table(tiles)
         for tr in results:
             tr["neighborTileIds"] = nb[tr["tileId"]]
+        # run finished: the spool is no longer needed
+        try:
+            os.remove(self._spool_file())
+        except OSError:
+            pass
         return results
 
     def _tile_objects(self, t: TileWindow, boxes, scores, cls, neighbor_ids):

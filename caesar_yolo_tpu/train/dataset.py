@@ -78,10 +78,10 @@ def load_sample(img_path: str, img_size: int, max_gt: int):
             return None
         img = np.asarray(res[0], np.float32)
     else:
-        img = read_image(img_path)
-        if img is None:
+        res = read_image(img_path)
+        if res is None:
             return None
-        img = np.asarray(img, np.float32)
+        img = np.asarray(res[0], np.float32)
         if img.max() > 1.5:
             img = img / 255.0
     if img.ndim == 2:

@@ -20,6 +20,11 @@ from caesar_yolo_tpu.utils.fits import (
     strip_deg_axis_from_header,
     write_fits,
 )
+from caesar_yolo_tpu.utils.resize import (
+    resize_img,
+    resize_img_v2,
+    resize_mask,
+)
 from caesar_yolo_tpu.utils.tiling import (
     TileWindow,
     generate_tiles,

@@ -1,0 +1,150 @@
+"""Auxiliary-subsystem tests: crash-resume spooling, augmentation,
+dataset loading, CLI validation."""
+
+import json
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from caesar_yolo_tpu.models.yolo import build_model, init_params
+from caesar_yolo_tpu.parallel import SFinder, SFinderConfig
+from caesar_yolo_tpu.train.augment import augment_batch
+from caesar_yolo_tpu.train.dataset import DetectionDataset, parse_dataset_yaml
+from caesar_yolo_tpu.utils.fits import write_fits
+
+
+@pytest.fixture(scope="module")
+def tiny_model():
+    m = build_model("yolov8n", num_classes=5)
+    return m, init_params(m, seed=0)
+
+
+def test_spool_resume_skips_done_tiles(tmp_path, tiny_model,
+                                       galaxy_fits_path, monkeypatch):
+    """A tile result already in the spool is not recomputed and appears in
+    the final catalog."""
+    m, p = tiny_model
+    monkeypatch.chdir(tmp_path)
+    fake_obj = {"name": "S1_t0", "x1": 1.0, "x2": 5.0, "y1": 1.0,
+                "y2": 5.0, "class_id": 1, "class_name": "compact",
+                "score": 0.99, "edge": 0}
+    spool = tmp_path / ".galaxy0001.tilespool.jsonl"
+    spool.write_text(json.dumps(
+        {"objs": [fake_obj], "tileId": 0, "workerId": 0,
+         "neighborTileIds": [], "xmin": 0, "xmax": 66, "ymin": 0,
+         "ymax": 66}) + "\n")
+    cfg = SFinderConfig(
+        image_path=galaxy_fits_path, image_xmin=-1, image_xmax=-1,
+        image_ymin=-1, image_ymax=-1, img_size=64, score_thr=0.9999,
+        split_image_in_tiles=True, tile_xsize=66, tile_ysize=66,
+        batch_size=4, resume=True)
+    sf = SFinder(m, p, cfg, engine_kwargs={"compute_dtype": jnp.float32})
+    assert sf.run_tiled() == 0
+    cat = json.loads((tmp_path / "catalog_galaxy0001.json").read_text())
+    names = {s["score"] for s in cat["sources"]}
+    assert 0.99 in names  # spooled tile survived into the catalog
+    assert not spool.exists()  # cleaned up after a successful run
+
+
+def test_spool_guard_max_tasks(tmp_path, tiny_model, galaxy_fits_path,
+                               monkeypatch):
+    m, p = tiny_model
+    monkeypatch.chdir(tmp_path)
+    cfg = SFinderConfig(
+        image_path=galaxy_fits_path, image_xmin=-1, image_xmax=-1,
+        image_ymin=-1, image_ymax=-1, split_image_in_tiles=True,
+        tile_xsize=33, tile_ysize=33, max_ntasks_per_worker=3)
+    sf = SFinder(m, p, cfg)
+    assert sf.run_tiled() == -1  # 16 tiles on 1 device > 3 allowed
+
+
+def test_augment_flip_only():
+    """degrees~0, scale~0 with certain flips: boxes mirror exactly."""
+    key = jax.random.PRNGKey(0)
+    img = np.zeros((1, 32, 32, 1), np.float32)
+    img[0, 2, 3, 0] = 1.0
+    boxes = np.asarray([[[4.0, 6.0, 10.0, 12.0]]], np.float32)
+    mask = np.ones((1, 1), bool)
+    out, oboxes, omask = augment_batch(key, img, boxes, mask,
+                                       degrees=0.0, scale=0.0,
+                                       flipud=1.0, fliplr=1.0)
+    assert omask.all()
+    np.testing.assert_allclose(
+        np.asarray(oboxes[0, 0]), [32 - 10, 32 - 12, 32 - 4, 32 - 6],
+        atol=1e-4)
+    out = np.asarray(out)
+    assert out[0, 32 - 1 - 2, 32 - 1 - 3, 0] == pytest.approx(1.0, abs=1e-5)
+
+
+def test_augment_rotation_preserves_center_box():
+    """A centered square under pure rotation keeps its center; the mask
+    filter drops boxes that degenerate."""
+    key = jax.random.PRNGKey(1)
+    img = np.random.default_rng(0).random((2, 64, 64, 1), dtype=np.float32)
+    boxes = np.asarray([[[24, 24, 40, 40]], [[28, 28, 36, 36]]], np.float32)
+    mask = np.ones((2, 1), bool)
+    _, oboxes, omask = augment_batch(key, img, boxes, mask,
+                                     degrees=180.0, scale=0.0,
+                                     flipud=0.0, fliplr=0.0)
+    ob = np.asarray(oboxes)
+    centers = np.stack([(ob[..., 0] + ob[..., 2]) / 2,
+                        (ob[..., 1] + ob[..., 3]) / 2], -1)
+    np.testing.assert_allclose(centers, 31.5, atol=0.6)
+    assert np.asarray(omask).all()
+
+
+def _make_dataset(root, n=6, size=48):
+    rng = np.random.default_rng(0)
+    (root / "images").mkdir(parents=True)
+    (root / "labels").mkdir(parents=True)
+    for i in range(n):
+        img = rng.random((size, size), np.float32)
+        write_fits(img, str(root / "images" / f"im{i}.fits"))
+        (root / "labels" / f"im{i}.txt").write_text(
+            "1 0.5 0.5 0.25 0.25\n2 0.2 0.2 0.1 0.1\n")
+
+
+def test_dataset_loader(tmp_path):
+    _make_dataset(tmp_path)
+    ds = DetectionDataset(str(tmp_path / "images"), img_size=64,
+                          batch_size=2, max_gt=8)
+    assert len(ds) == 3
+    batches = list(ds)
+    assert len(batches) == 3
+    imgs, labels, boxes, masks = batches[0]
+    assert imgs.shape == (2, 64, 64, 3)
+    assert boxes.shape == (2, 8, 4)
+    assert masks[:, :2].all() and not masks[:, 2:].any()
+    # boxes landed inside the letterboxed frame, denormalized
+    assert (boxes[masks] >= 0).all() and (boxes[masks] <= 64).all()
+    assert labels[0, 0] == 1 and labels[0, 1] == 2
+
+
+def test_dataset_yaml(tmp_path):
+    _make_dataset(tmp_path / "data")
+    (tmp_path / "ds.yaml").write_text(
+        "path: %s\ntrain: data/images\nval: data/images\n"
+        "names:\n  0: spurious\n  1: compact\n" % tmp_path)
+    spec = parse_dataset_yaml(str(tmp_path / "ds.yaml"))
+    assert spec["names"] == ["spurious", "compact"]
+    ds = DetectionDataset(str(tmp_path / "ds.yaml"), img_size=64,
+                          batch_size=2, max_gt=4)
+    assert ds.class_names == ["spurious", "compact"]
+    assert len(ds.paths) == 6
+
+
+def test_cli_validation(tmp_path):
+    from caesar_yolo_tpu.cli.run import parse_args, validate_args
+    args = parse_args(["--weights=/nonexistent.npz", "--image=/nope.fits"])
+    assert validate_args(args) == -1
+    img = tmp_path / "a.fits"
+    write_fits(np.zeros((8, 8), np.float32), str(img))
+    w = tmp_path / "w.npz"
+    w.write_bytes(b"")
+    args = parse_args([f"--weights={w}", f"--image={img}"])
+    assert validate_args(args) == 0
+    args = parse_args([f"--weights={w}", f"--image={img}", "--maxnimgs=0"])
+    assert validate_args(args) == -1

@@ -136,3 +136,24 @@ def test_beam_area(galaxy_fits_path):
     expected_a = np.pi * header["BMAJ"] * header["BMIN"] / (4 * np.log(2))
     assert info["beam_area"] == pytest.approx(
         expected_a / abs(header["CDELT1"] * header["CDELT2"]))
+
+
+def test_native_tile_reader_matches_numpy(galaxy_fits_path):
+    """The C++ batch tile reader must match the pure-numpy reader
+    bit-for-bit (it is the same format authority, offloaded)."""
+    from caesar_yolo_tpu.utils import fits_native, read_fits
+    if not fits_native.available():
+        import pytest
+        pytest.skip("native library not built")
+    full, header, _ = read_fits(galaxy_fits_path)
+    info = fits_native.fits_info(galaxy_fits_path)
+    assert info[2:] == (132, 132)
+    wins = [[10, 74, 20, 84], [0, 132, 0, 132], [100, 132, 0, 32]]
+    tiles = fits_native.read_tiles_batch(galaxy_fits_path, wins)
+    import numpy as np
+    assert np.array_equal(tiles[0], full[20:84, 10:74].astype(np.float32))
+    assert np.array_equal(tiles[1], full.astype(np.float32))
+    assert np.array_equal(tiles[2], full[0:32, 100:132].astype(np.float32))
+    # out-of-bounds window -> None, not garbage
+    assert fits_native.read_tiles_batch(galaxy_fits_path,
+                                        [[0, 200, 0, 200]]) is None
