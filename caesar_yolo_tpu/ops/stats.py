@@ -106,28 +106,28 @@ def sigma_clipped_stats(values: jnp.ndarray, mask: jnp.ndarray,
         mean, std, _ = _moments(flat, mask_cur)
         return n, med, mean, std
 
-    def body(state):
-        mask_cur, it, _, _, _ = state
-        n, med, _, std = stats_of(mask_cur)
+    # Fixed-count loop: once the clipped set stops changing, the body is
+    # idempotent (same median/std -> same bounds -> same mask), so running
+    # to maxiters matches astropy's early-exit semantics.  A batched
+    # while_loop would run converged lanes anyway under vmap; fori lowers
+    # more simply.
+    def body(_, state):
+        mask_cur, _, _ = state
+        _, med, _, std = stats_of(mask_cur)
         lower = med - sigma_low * std
         upper = med + sigma_up * std
         new_mask = mask_cur & (flat >= lower) & (flat <= upper)
-        changed = jnp.sum(new_mask) < n
-        return new_mask, it + 1, changed, lower, upper
+        return new_mask, lower, upper
 
-    def cond(state):
-        _, it, changed, _, _ = state
-        return changed & (it < maxiters)
-
-    init = (m0, jnp.int32(0), n_valid > 0,
-            jnp.float32(jnp.nan), jnp.float32(jnp.nan))
-    mask_fin, _, _, lower, upper = lax.while_loop(cond, body, init)
+    init = (m0, jnp.float32(jnp.nan), jnp.float32(jnp.nan))
+    mask_fin, lower, upper = lax.fori_loop(0, maxiters, body, init)
 
     n, med, mean, std = stats_of(mask_fin)
     empty = n_valid == 0
     nanf = jnp.float32(jnp.nan)
     return (jnp.where(empty, nanf, mean), jnp.where(empty, nanf, med),
-            jnp.where(empty, nanf, std), lower, upper, n_valid)
+            jnp.where(empty, nanf, std), jnp.where(empty, nanf, lower),
+            jnp.where(empty, nanf, upper), n_valid)
 
 
 def sigma_clip_bounds(values, mask, sigma_low, sigma_up, maxiters: int = 5):

@@ -50,8 +50,8 @@ def zscale_limits(values: jnp.ndarray, contrast: float = 0.25,
     x = jnp.arange(npix, dtype=jnp.float32)
     kernel = jnp.ones((ngrow,), dtype=jnp.float32)
 
-    def body(state):
-        bad, ngood, _, it, _ = state
+    def body(_, state):
+        bad, ngood, _, _ = state
         w = (~bad).astype(jnp.float32)
         # Weighted least-squares line fit (weights in {0,1} make
         # np.polyfit's squared-weight convention equivalent).
@@ -70,19 +70,22 @@ def zscale_limits(values: jnp.ndarray, contrast: float = 0.25,
             jnp.sum(w * flat_resid * flat_resid) / jnp.maximum(sw, 1.0)
             - mu * mu, 0.0)
         threshold = krej * jnp.sqrt(var)
-        bad = bad | (flat_resid < -threshold) | (flat_resid > threshold)
+        new_bad = bad | (flat_resid < -threshold) | (flat_resid > threshold)
         # Dilate mask with ones(ngrow) kernel (bool convolve, mode='same')
-        bad = jnp.convolve(bad.astype(jnp.float32), kernel, mode="same") > 0
-        new_ngood = jnp.sum(~bad).astype(jnp.int32)
-        return bad, new_ngood, ngood, it + 1, slope
-
-    def cond(state):
-        _, ngood, last_ngood, it, _ = state
-        return (it < max_iterations) & (ngood < last_ngood) & (ngood >= minpix)
+        new_bad = jnp.convolve(new_bad.astype(jnp.float32), kernel,
+                               mode="same") > 0
+        # freeze once below minpix (astropy stops there; the mask is
+        # monotone so later iterations cannot recover — fixed-count loop
+        # with freezing matches the early-exit semantics)
+        keep_going = ngood >= minpix
+        new_bad = jnp.where(keep_going, new_bad, bad)
+        slope = jnp.where(keep_going, slope, state[3])
+        new_ngood = jnp.sum(~new_bad).astype(jnp.int32)
+        return new_bad, new_ngood, ngood, slope
 
     init = (jnp.zeros((npix,), dtype=bool), jnp.int32(npix),
-            jnp.int32(npix + 1), jnp.int32(0), jnp.float32(0.0))
-    _, ngood, _, _, slope = lax.while_loop(cond, body, init)
+            jnp.int32(npix + 1), jnp.float32(0.0))
+    _, ngood, _, slope = lax.fori_loop(0, max_iterations, body, init)
 
     fitted_ok = ngood >= minpix
     if contrast > 0:
