@@ -1,6 +1,7 @@
 """Preprocessing ops: masked stats, zscale, histogram equalization,
 and the 20 reference transforms as pure jit-able functions."""
 
+from caesar_yolo_tpu.ops.clahe import equalize_adapthist
 from caesar_yolo_tpu.ops.histeq import equalize_hist
 from caesar_yolo_tpu.ops.stats import (
     masked_max,

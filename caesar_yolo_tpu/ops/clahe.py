@@ -1,0 +1,81 @@
+"""Contrast-limited adaptive histogram equalization (CLAHE) in JAX.
+
+Completes the reference HistEqualizer's adaptive branch
+(reference preprocessing.py:1006 -> skimage.exposure.equalize_adapthist):
+the image is split into a grid of contextual tiles, each tile gets a
+clip-limited, excess-redistributed histogram CDF, and every pixel maps
+through a bilinear blend of the four surrounding tile CDFs.  All shapes
+are static (grid fixed at trace time), so it jits and vmaps.
+
+Semantics follow standard CLAHE (grid default 8x8, nbins=256, relative
+clip limit); exact skimage numerics are not bit-matched (its padding and
+iterative redistribution differ slightly) — the reference never reaches
+this branch from its CLI (SURVEY.md §2.1), it only exposes it via the
+class API.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+@partial(jax.jit, static_argnames=("nbins", "grid", "clip_limit"))
+def equalize_adapthist(values: jnp.ndarray, clip_limit: float = 0.03,
+                       nbins: int = 256, grid: int = 8) -> jnp.ndarray:
+    """CLAHE over a 2D array; returns float32 in [0, 1]."""
+    x = values.astype(jnp.float32)
+    h, w = x.shape
+    vmin = jnp.min(x)
+    vmax = jnp.max(x)
+    span = jnp.where(vmax > vmin, vmax - vmin, 1.0)
+    norm = (x - vmin) / span                                  # [0, 1]
+    bins = jnp.clip((norm * nbins).astype(jnp.int32), 0, nbins - 1)
+
+    # pad to a multiple of the grid (reflect, like skimage)
+    th = -(-h // grid)
+    tw = -(-w // grid)
+    ph, pw = th * grid - h, tw * grid - w
+    bins_p = jnp.pad(bins, ((0, ph), (0, pw)), mode="reflect")
+
+    # per-tile histograms via one scatter-add into [grid*grid, nbins]
+    tiles = bins_p.reshape(grid, th, grid, tw).transpose(0, 2, 1, 3)
+    tiles = tiles.reshape(grid * grid, th * tw)
+    tile_ids = jnp.arange(grid * grid, dtype=jnp.int32)[:, None]
+    flat_idx = (tile_ids * nbins + tiles).reshape(-1)
+    hist = jnp.zeros((grid * grid * nbins,), jnp.float32).at[flat_idx].add(
+        1.0).reshape(grid * grid, nbins)
+
+    # clip + redistribute excess uniformly (one pass, standard CLAHE)
+    npix = th * tw
+    limit = jnp.maximum(clip_limit * npix, 1.0)
+    excess = jnp.sum(jnp.maximum(hist - limit, 0.0), axis=1, keepdims=True)
+    hist = jnp.minimum(hist, limit) + excess / nbins
+
+    cdf = jnp.cumsum(hist, axis=1)
+    cdf = cdf / cdf[:, -1:]
+    cdf = cdf.reshape(grid, grid, nbins)
+
+    # bilinear blend of the 4 surrounding tile mappings per pixel
+    yy = (jnp.arange(h, dtype=jnp.float32) + 0.5) / th - 0.5   # tile coords
+    xx = (jnp.arange(w, dtype=jnp.float32) + 0.5) / tw - 0.5
+    y0 = jnp.clip(jnp.floor(yy), 0, grid - 1).astype(jnp.int32)
+    x0 = jnp.clip(jnp.floor(xx), 0, grid - 1).astype(jnp.int32)
+    y1 = jnp.clip(y0 + 1, 0, grid - 1)
+    x1 = jnp.clip(x0 + 1, 0, grid - 1)
+    fy = jnp.clip(yy - y0.astype(jnp.float32), 0.0, 1.0)[:, None]
+    fx = jnp.clip(xx - x0.astype(jnp.float32), 0.0, 1.0)[None, :]
+
+    def look(ty, tx):
+        # cdf[ty[i], tx[j], bins[i, j]] for every pixel
+        return cdf[ty[:, None], tx[None, :], bins]
+
+    v00 = look(y0, x0)
+    v01 = look(y0, x1)
+    v10 = look(y1, x0)
+    v11 = look(y1, x1)
+    out = ((v00 * (1 - fx) + v01 * fx) * (1 - fy)
+           + (v10 * (1 - fx) + v11 * fx) * fy)
+    return out

@@ -453,14 +453,18 @@ def zscale_transformer(contrasts: Sequence[float] = (0.25, 0.25, 0.25)) -> Trans
 def hist_equalizer(adaptive: bool = False, clip_limit: float = 0.03) -> Transform:
     """Per-channel histogram equalization (ref preprocessing.py:977-1012).
 
-    adaptive (CLAHE) is not implemented (never reachable from the
-    reference CLI either, run.py has no flag for it)."""
+    adaptive=True uses CLAHE (reference: skimage equalize_adapthist)."""
     if adaptive:
-        raise NotImplementedError("adaptive histogram equalization (CLAHE)")
+        from caesar_yolo_tpu.ops.clahe import equalize_adapthist
+
+        def eq(chan):
+            return equalize_adapthist(chan, clip_limit=clip_limit)
+    else:
+        eq = equalize_hist
 
     def fn(data):
         cond = valid_mask(data)
-        chans = [equalize_hist(data[:, :, i]) for i in range(data.shape[-1])]
+        chans = [eq(data[:, :, i]) for i in range(data.shape[-1])]
         out = jnp.stack(chans, axis=-1)
         return jnp.where(cond, out, 0.0), TRUE
 

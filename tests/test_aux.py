@@ -148,3 +148,46 @@ def test_cli_validation(tmp_path):
     assert validate_args(args) == 0
     args = parse_args([f"--weights={w}", f"--image={img}", "--maxnimgs=0"])
     assert validate_args(args) == -1
+
+
+def test_train_cli_smoke(tmp_path, monkeypatch):
+    """One tiny epoch through the full training CLI: dataset -> augment ->
+    sharded trainer -> checkpoint."""
+    _make_dataset(tmp_path, n=4, size=48)
+    monkeypatch.chdir(tmp_path)
+    from caesar_yolo_tpu.cli.train import main
+    rc = main([f"--data={tmp_path / 'images'}", "--model=yolov8n",
+               "--epochs=1", "--batch=2", "--imgsz=64", "--max_gt=8",
+               "--checkpoint_dir=ckpt", "--no_augment"])
+    assert rc == 0
+    assert (tmp_path / "ckpt" / "last").exists()
+
+
+def test_sfinder_serial_png(tmp_path, monkeypatch, tiny_model):
+    """Serial detection on a PNG input (reference inference.py:511-519)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    m, p = tiny_model
+    rng = np.random.default_rng(0)
+    png = tmp_path / "img.png"
+    plt.imsave(str(png), rng.random((64, 64)), cmap="gray")
+    monkeypatch.chdir(tmp_path)
+    cfg = SFinderConfig(image_path=str(png), image_xmin=-1, image_xmax=-1,
+                        image_ymin=-1, image_ymax=-1, img_size=64,
+                        score_thr=1e-4)
+    sf = SFinder(m, p, cfg, engine_kwargs={"compute_dtype": jnp.float32})
+    assert sf.run() == 0
+    assert (tmp_path / "out_img.json").exists()
+
+
+def test_yolo11_predictor_end_to_end():
+    from caesar_yolo_tpu.detect import Predictor
+    m = build_model("yolo11n", num_classes=5)
+    p = init_params(m, seed=0)
+    pred = Predictor(m, p, img_size=64, score_thr=1e-4,
+                     compute_dtype=jnp.float32)
+    boxes, scores, cls = pred.predict_image(
+        np.random.default_rng(1).random((48, 48, 3), dtype=np.float32))
+    if len(boxes):
+        assert (boxes[:, 2] <= 48).all() and (boxes[:, 3] <= 48).all()

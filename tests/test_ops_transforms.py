@@ -294,3 +294,27 @@ def test_build_preprocessor_chan3(galaxy_fits_path):
 
 def test_build_preprocessor_none():
     assert T.build_preprocessor() is None
+
+
+def test_clahe_basic(rng):
+    """CLAHE output: in [0,1], enhances local contrast of a flat-ish
+    region more than global hist-eq keeps masked pixels at 0."""
+    from caesar_yolo_tpu.ops.clahe import equalize_adapthist
+    x = rng.normal(0.5, 0.02, (96, 96)).astype(np.float32)
+    x[40:56, 40:56] += 3.0  # bright blob compresses the global histogram
+    out = np.asarray(equalize_adapthist(x))
+    assert out.shape == x.shape
+    assert out.min() >= 0.0 and out.max() <= 1.0
+    # local contrast in a background corner is stretched vs the raw data
+    corner = out[:32, :32]
+    assert corner.std() > 0.05
+
+
+def test_hist_equalizer_adaptive_path(rng):
+    x = rng.random((64, 64, 1), dtype=np.float32) + 0.1
+    x[2:6, 3:9, :] = 0.0
+    out, valid = T.hist_equalizer(adaptive=True)(x)
+    out = np.asarray(out)
+    assert bool(valid)
+    assert np.all(out[2:6, 3:9, 0] == 0)  # masked pixels restored
+    assert 0.0 <= out.min() and out.max() <= 1.0
