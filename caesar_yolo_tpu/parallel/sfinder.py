@@ -98,6 +98,10 @@ class SFinderConfig:
     profile_dir: str = ""      # write a jax.profiler trace of the run
     resume: bool = False       # resume a crashed tiled run from the spool
     spool_path: str = ""       # per-tile result spool (default: auto)
+    # multi-host: max serialized per-host tile-result payload for the
+    # fixed-shape allgather (replaces the reference's pickled MPI
+    # send/recv, inference.py:954-978)
+    gather_payload_bytes: int = 8 * 1024 * 1024
 
 
 @dataclass
@@ -336,10 +340,20 @@ class SFinder:
 
         done = self._load_spool() if cfg.resume else {}
         spool = open(self._spool_file(), "a" if cfg.resume else "w")
+        arrs_by_tid: dict[int, np.ndarray] = {}  # for save_tile_img
+
+        # multi-host: stripe tiles across processes (each host owns
+        # tid % nproc == its index; the reference's round-robin
+        # rank assignment, inference.py:1008-1029)
+        import jax as _jax
+        nproc = _jax.process_count()
+        pid = _jax.process_index()
 
         groups: dict[tuple, list[TileWindow]] = {}
         for t in tiles:
             if t.tid in done:
+                continue
+            if nproc > 1 and t.tid % nproc != pid:
                 continue
             groups.setdefault((t.height, t.width), []).append(t)
 
@@ -385,6 +399,9 @@ class SFinder:
                     arr = np.zeros((batch, h, w, 1), np.float32)
                     for k, i in enumerate(ok_idx):
                         arr[k] = datas[i]
+                    if cfg.save_tile_img:
+                        for k, i in enumerate(ok_idx):
+                            arrs_by_tid[tile_batch[i].tid] = arr[k, :, :, 0]
                     pending.append(
                         ([tile_batch[i] for i in ok_idx],
                          engine.process_async(arr)))
@@ -398,11 +415,18 @@ class SFinder:
                             t, boxes[k][valid[k]], scores[k][valid[k]],
                             cls[k][valid[k]],
                             neighbor_ids=None)
+                        if cfg.save_tile_img:
+                            from caesar_yolo_tpu.utils.fits import write_fits
+                            write_fits(
+                                arrs_by_tid[t.tid],
+                                f"timg_{self.image_id}_tid{t.tid}.fits")
                         results.append(tr)
                         spool.write(json.dumps(tr) + "\n")
                     spool.flush()
         spool.close()
         results.extend(done.values())
+        if nproc > 1:
+            results = self._gather_multihost(results)
         # attach neighbor ids
         nb = neighbor_table(tiles)
         for tr in results:
@@ -413,6 +437,35 @@ class SFinder:
         except OSError:
             pass
         return results
+
+    def _gather_multihost(self, local_results: list[dict]) -> list[dict]:
+        """All-gather per-host tile results as fixed-shape byte payloads
+        over the mesh (every host ends up with the full list, so the
+        stitch/save below is deterministic everywhere — unlike the
+        reference, where only rank 0 holds the catalog)."""
+        import json
+        import jax as _jax
+        from jax.experimental import multihost_utils
+
+        cap = self.config.gather_payload_bytes
+        blob = json.dumps(local_results).encode()
+        if len(blob) > cap:
+            raise ValueError(
+                f"tile-result payload {len(blob)}B exceeds "
+                f"gather_payload_bytes={cap}; raise the config value")
+        buf = np.zeros((cap + 8,), np.uint8)
+        buf[:8] = np.frombuffer(
+            np.uint64(len(blob)).tobytes(), dtype=np.uint8)
+        buf[8:8 + len(blob)] = np.frombuffer(blob, np.uint8)
+        gathered = np.asarray(multihost_utils.process_allgather(buf))
+        gathered = gathered.reshape(_jax.process_count(), -1)
+        merged: list[dict] = []
+        for row in gathered:
+            n = int(np.frombuffer(row[:8].tobytes(), np.uint64)[0])
+            if n:
+                merged.extend(json.loads(row[8:8 + n].tobytes().decode()))
+        merged.sort(key=lambda tr: tr["tileId"])
+        return merged
 
     def _tile_objects(self, t: TileWindow, boxes, scores, cls, neighbor_ids):
         cfg = self.config

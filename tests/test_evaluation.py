@@ -80,3 +80,33 @@ def test_read_yolo_labels(tmp_path):
     # missing file -> empty
     out = read_yolo_labels(str(tmp_path / "nope.txt"), 10, 10, [])
     assert len(out["labels"]) == 0
+
+
+def test_evaluate_dataset_end_to_end(tmp_path):
+    """Full evaluate_dataset drive: filelist + labels -> predictor ->
+    metrics report."""
+    import jax.numpy as jnp
+    from caesar_yolo_tpu.detect import Predictor
+    from caesar_yolo_tpu.evaluation import evaluate_dataset
+    from caesar_yolo_tpu.models.yolo import build_model, init_params
+    from caesar_yolo_tpu.utils.fits import write_fits
+
+    rng = np.random.default_rng(0)
+    (tmp_path / "images").mkdir()
+    (tmp_path / "labels").mkdir()
+    paths = []
+    for i in range(3):
+        p = tmp_path / "images" / f"im{i}.fits"
+        write_fits(rng.random((48, 48), np.float32), str(p))
+        (tmp_path / "labels" / f"im{i}.txt").write_text(
+            "1 0.5 0.5 0.3 0.3\n")
+        paths.append(str(p))
+    (tmp_path / "filelist.txt").write_text("\n".join(paths))
+
+    m = build_model("yolov8n", num_classes=5)
+    pred = Predictor(m, init_params(m, 0), img_size=64, score_thr=1e-4,
+                     compute_dtype=jnp.float32)
+    report = evaluate_dataset(pred, str(tmp_path / "filelist.txt"),
+                              label_dir=str(tmp_path / "labels"))
+    assert report.completeness["compact"].n == 3
+    assert "source" in report.f1

@@ -144,3 +144,22 @@ def test_sfinder_tiled_end_to_end(tmp_path, tiny_model, galaxy_fits_path,
     # overlapping grid on 132x132 with 80px tiles, step 0.5 (=40px):
     # starts 0/40/80/120 per axis -> 4x4 = 16 tiles
     assert sf.report.n_tiles == 16
+
+
+def test_gather_multihost_roundtrip(tiny_model, tmp_path):
+    """Fixed-shape payload gather: single-process allgather returns the
+    local results unchanged (the multi-host wire format round-trips)."""
+    m, p = tiny_model
+    cfg = SFinderConfig(image_path="/tmp/x.fits", gather_payload_bytes=4096)
+    sf = SFinder(m, p, cfg)
+    local = [{"objs": [], "tileId": 3, "workerId": 0,
+              "neighborTileIds": [1], "xmin": 0, "xmax": 2, "ymin": 0,
+              "ymax": 2}]
+    out = sf._gather_multihost(local)
+    assert out == local
+    # oversized payload is rejected loudly, not truncated
+    big = [{"objs": ["x" * 8192], "tileId": 0, "workerId": 0,
+            "neighborTileIds": [], "xmin": 0, "xmax": 1, "ymin": 0,
+            "ymax": 1}]
+    with pytest.raises(ValueError):
+        sf._gather_multihost(big)

@@ -276,3 +276,127 @@ def test_full_yolov8_graph_parity():
     for (jb, jc), (tb, tc) in zip(j_raw, t_raw):
         np.testing.assert_allclose(j2t(jb), tb.numpy(), rtol=3e-3, atol=3e-4)
         np.testing.assert_allclose(j2t(jc), tc.numpy(), rtol=3e-3, atol=3e-4)
+
+
+class TC3(nn.Module):
+    """C3 with k-sized bottlenecks, e=1.0 inner (ultralytics C3k)."""
+
+    def __init__(self, c1, c2, n=1, shortcut=True, g=1, e=0.5, k=3):
+        super().__init__()
+        c_ = int(c2 * e)
+        self.cv1 = TConv(c1, c_, 1, 1)
+        self.cv2 = TConv(c1, c_, 1, 1)
+        self.cv3 = TConv(2 * c_, c2, 1)
+        self.m = nn.Sequential(*(TBottleneck(c_, c_, shortcut, g,
+                                             k=(k, k), e=1.0)
+                                 for _ in range(n)))
+
+    def forward(self, x):
+        return self.cv3(torch.cat((self.m(self.cv1(x)), self.cv2(x)), 1))
+
+
+class TC3k2(nn.Module):
+    def __init__(self, c1, c2, n=1, c3k=False, e=0.5, g=1, shortcut=True):
+        super().__init__()
+        self.c = int(c2 * e)
+        self.cv1 = TConv(c1, 2 * self.c, 1, 1)
+        self.cv2 = TConv((2 + n) * self.c, c2, 1)
+        self.m = nn.ModuleList(
+            TC3(self.c, self.c, 2, shortcut, g) if c3k
+            else TBottleneck(self.c, self.c, shortcut, g)
+            for _ in range(n))
+
+    forward = TC2f.forward
+
+
+class TPSABlock(nn.Module):
+    def __init__(self, c, attn_ratio=0.5, num_heads=4):
+        super().__init__()
+        self.attn = TAttention(c, num_heads=num_heads, attn_ratio=attn_ratio)
+        self.ffn = nn.Sequential(TConv(c, c * 2, 1), TConv(c * 2, c, 1,
+                                                           act=False))
+
+    def forward(self, x):
+        x = x + self.attn(x)
+        return x + self.ffn(x)
+
+
+class TC2PSA(nn.Module):
+    def __init__(self, c1, c2, n=1, e=0.5):
+        super().__init__()
+        self.c = int(c1 * e)
+        self.cv1 = TConv(c1, 2 * self.c, 1, 1)
+        self.cv2 = TConv(2 * self.c, c1, 1)
+        self.m = nn.Sequential(*(TPSABlock(self.c, 0.5,
+                                           max(1, self.c // 64))
+                                 for _ in range(n)))
+
+    def forward(self, x):
+        a, b = self.cv1(x).split((self.c, self.c), dim=1)
+        b = self.m(b)
+        return self.cv2(torch.cat((a, b), 1))
+
+
+def test_c3k2_parity():
+    for c3k in (False, True):
+        tm = TC3k2(32, 32, n=1, c3k=c3k).eval()
+        _randomize_bn(tm, seed=int(c3k))
+        jm = L.C3k2(32, 32, 1, c3k=c3k)
+        params = _Mapper(_state(tm)).c3k2(jm, "m")
+        x = rand_t(1, 32, 16, 16, seed=int(c3k))
+        with torch.no_grad():
+            assert_close(jm(params, t2j(x)), tm(x), tol=5e-4)
+
+
+def test_c2psa_parity():
+    tm = TC2PSA(128, 128, n=1).eval()
+    _randomize_bn(tm, seed=9)
+    jm = L.C2PSA(128, 128, 1)
+    params = _Mapper(_state(tm)).c2psa(jm, "m")
+    x = rand_t(1, 128, 8, 8, seed=9)
+    with torch.no_grad():
+        assert_close(jm(params, t2j(x)), tm(x), tol=1e-3)
+
+
+class TDWConv(TConv):
+    def __init__(self, c1, c2, k=3, s=1, act=True):
+        import math
+        super().__init__(c1, c2, k, s, g=math.gcd(c1, c2), act=act)
+
+
+class TDetectV11(nn.Module):
+    """v11 detect head: DW-separable cls branch (legacy=False)."""
+
+    def __init__(self, nc, chs):
+        super().__init__()
+        c2 = max(16, chs[0] // 4, 64)
+        c3 = max(chs[0], min(nc, 100))
+        self.cv2 = nn.ModuleList(
+            nn.Sequential(TConv(ch, c2, 3), TConv(c2, c2, 3),
+                          nn.Conv2d(c2, 64, 1)) for ch in chs)
+        self.cv3 = nn.ModuleList(
+            nn.Sequential(
+                nn.Sequential(TDWConv(ch, ch, 3), TConv(ch, c3, 1)),
+                nn.Sequential(TDWConv(c3, c3, 3), TConv(c3, c3, 1)),
+                nn.Conv2d(c3, nc, 1)) for ch in chs)
+
+    def forward(self, feats):
+        return [(self.cv2[i](x), self.cv3[i](x))
+                for i, x in enumerate(feats)]
+
+
+def test_detect_head_v11_parity():
+    from caesar_yolo_tpu.models.yolo import DetectHead
+    chs = (64, 128, 256)
+    tm = TDetectV11(5, chs).eval()
+    _randomize_bn(tm, seed=4)
+    jh = DetectHead(5, chs, legacy=False)
+    params = _Mapper(_state(tm)).detect_head(jh, "m")
+    feats_t = [rand_t(1, c, 8 // (2 ** i), 8 // (2 ** i), seed=i)
+               for i, c in enumerate(chs)]
+    with torch.no_grad():
+        t_out = tm(feats_t)
+    j_out = jh(params, tuple(t2j(f) for f in feats_t))
+    for (jb, jc), (tb, tc) in zip(j_out, t_out):
+        assert_close(jb, tb, tol=5e-4)
+        assert_close(jc, tc, tol=5e-4)
