@@ -29,7 +29,55 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def bench_mosaic():
+    """System-level mode (BENCH_MODE=mosaic): tiled SFinder on a synthetic
+    mosaic — windowed native reads, batched sharded inference, edge
+    stitching, catalog write — megapixels/sec end to end."""
+    import tempfile
+
+    import jax.numpy as jnp
+    from caesar_yolo_tpu.models.yolo import build_model, init_params
+    from caesar_yolo_tpu.ops import build_preprocessor
+    from caesar_yolo_tpu.parallel import SFinder, SFinderConfig
+    from caesar_yolo_tpu.utils.synth import write_mosaic_fits
+
+    size = int(os.environ.get("BENCH_MOSAIC_SIZE", "4096"))
+    tile = int(os.environ.get("BENCH_TILE", "640"))
+    model_name = os.environ.get("BENCH_MODEL", "yolov8n")
+
+    workdir = tempfile.mkdtemp(prefix="bench_mosaic_")
+    path = os.path.join(workdir, "mosaic.fits")
+    write_mosaic_fits(path, nx=size, ny=size,
+                      n_sources=max(20, size // 40))
+
+    model = build_model(model_name, num_classes=5)
+    params = init_params(model, seed=0)
+    preproc = build_preprocessor(zscale_stretch=True, normalize_minmax=True)
+    cfg = SFinderConfig(
+        image_path=path, image_xmin=-1, image_xmax=-1, image_ymin=-1,
+        image_ymax=-1, img_size=640, score_thr=0.7,
+        split_image_in_tiles=True, tile_xsize=tile, tile_ysize=tile,
+        tile_xstep=1.0, tile_ystep=1.0, batch_size=16,
+        outfile_json=os.path.join(workdir, "catalog.json"),
+        outfile_ds9=os.path.join(workdir, "regions.reg"))
+    sf = SFinder(model, params, cfg, preprocessor=preproc)
+    # warm run compiles; second run measures the steady pipeline
+    sf.run_tiled()
+    sf2 = SFinder(model, params, cfg, preprocessor=preproc)
+    rc = sf2.run_tiled()
+    assert rc == 0
+    mpix_s = size * size / 1e6 / sf2.report.runtime_s
+    print(json.dumps({
+        "metric": f"{model_name} tiled mosaic Mpix/sec (e2e incl. IO+stitch)",
+        "value": round(mpix_s, 2),
+        "unit": "Mpix/s",
+        "vs_baseline": round(mpix_s * 1e6 / (tile * tile) / 500.0, 3),
+    }))
+
+
 def main():
+    if os.environ.get("BENCH_MODE") == "mosaic":
+        return bench_mosaic()
     import jax
     import jax.numpy as jnp
     from caesar_yolo_tpu.detect.letterbox import letterbox_batch, \

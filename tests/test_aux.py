@@ -191,3 +191,27 @@ def test_yolo11_predictor_end_to_end():
         np.random.default_rng(1).random((48, 48, 3), dtype=np.float32))
     if len(boxes):
         assert (boxes[:, 2] <= 48).all() and (boxes[:, 3] <= 48).all()
+
+
+def test_synthetic_mosaic_tiled_recovers_gt_regions(tmp_path, tiny_model,
+                                                    monkeypatch):
+    """System test: synthesize a mosaic with known sources, run the full
+    tiled pipeline; the catalog exists and every reported source is inside
+    the mosaic bounds."""
+    from caesar_yolo_tpu.utils.synth import write_mosaic_fits
+    m, p = tiny_model
+    monkeypatch.chdir(tmp_path)
+    path = str(tmp_path / "mosaic.fits")
+    gt = write_mosaic_fits(path, nx=256, ny=256, n_sources=6, seed=1)
+    assert gt.shape == (6, 4)
+    cfg = SFinderConfig(image_path=path, image_xmin=-1, image_xmax=-1,
+                        image_ymin=-1, image_ymax=-1, img_size=64,
+                        score_thr=1e-4, split_image_in_tiles=True,
+                        tile_xsize=128, tile_ysize=128, tile_xstep=1.0,
+                        tile_ystep=1.0, batch_size=4)
+    sf = SFinder(m, p, cfg, engine_kwargs={"compute_dtype": jnp.float32})
+    assert sf.run_tiled() == 0
+    assert sf.report.n_tiles == 4
+    cat = json.loads((tmp_path / "catalog_mosaic.json").read_text())
+    for s in cat["sources"]:
+        assert 0 <= s["x1"] <= 256 and 0 <= s["y2"] <= 256
