@@ -16,7 +16,6 @@ the sane convention (inputs in [0, 1], channels as given).
 
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp

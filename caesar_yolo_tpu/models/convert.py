@@ -25,11 +25,9 @@ model name/classes, loadable without torch via `load_params`.
 
 from __future__ import annotations
 
-import io
 import json
 import os
 import pickle
-import zipfile
 
 import numpy as np
 
@@ -42,7 +40,6 @@ from caesar_yolo_tpu.models.layers import (
     C3k2,
     Concat,
     Conv,
-    Conv2dRaw,
     SPPF,
     Upsample,
 )

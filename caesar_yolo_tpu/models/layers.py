@@ -24,7 +24,7 @@ from typing import Sequence
 
 import jax
 import jax.numpy as jnp
-import numpy as np
+
 from jax import lax
 
 BN_EPS = 1e-3

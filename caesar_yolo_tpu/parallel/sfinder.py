@@ -127,6 +127,7 @@ class SFinder:
         self.engine_kwargs = dict(engine_kwargs or {})
         self.sources: dict = {"sources": []}
         self.report = SFinderReport()
+        self._engine = None  # compiled engine cache (reused across runs)
         base = os.path.basename(os.path.abspath(config.image_path))
         self.image_id = os.path.splitext(base)[0]
         self.header = None
@@ -277,11 +278,13 @@ class SFinder:
                     self.image_id, len(tiles), cfg.tile_xsize,
                     cfg.tile_ysize, cfg.tile_xstep, cfg.tile_ystep)
 
-        engine = TileEngine(
-            self.model, self.params, preprocessor=self.preprocessor,
-            mesh=self.mesh, img_size=cfg.img_size,
-            score_thr=cfg.score_thr, iou_thr=cfg.iou_thr,
-            **self.engine_kwargs)
+        if self._engine is None:
+            self._engine = TileEngine(
+                self.model, self.params, preprocessor=self.preprocessor,
+                mesh=self.mesh, img_size=cfg.img_size,
+                score_thr=cfg.score_thr, iou_thr=cfg.iou_thr,
+                **self.engine_kwargs)
+        engine = self._engine
 
         t_detect = time.time()
         tile_results = self._detect_tiles(engine, tiles)

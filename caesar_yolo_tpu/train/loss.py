@@ -19,7 +19,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from caesar_yolo_tpu.models.yolo import REG_MAX, STRIDES, anchor_points
+from caesar_yolo_tpu.models.yolo import REG_MAX, anchor_points
 
 
 def ciou(box1: jnp.ndarray, box2: jnp.ndarray, eps: float = 1e-7):
