@@ -97,6 +97,9 @@ def main(argv=None) -> int:
                     checkpoint_dir=None)
         if args.checkpoint_dir and (epoch + 1) % args.checkpoint_every == 0:
             trainer.save_checkpoint(args.checkpoint_dir, step=epoch + 1)
+    # precise-BN: re-estimate running stats before the final checkpoint
+    trainer.calibrate_bn(
+        imgs for imgs, *_ in augmented(args.epochs))
     trainer.save_checkpoint(args.checkpoint_dir, step=args.epochs,
                             name="last")
     return 0

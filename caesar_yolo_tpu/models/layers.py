@@ -29,6 +29,34 @@ from jax import lax
 
 BN_EPS = 1e-3
 
+# Train-mode context: inside `train_mode()`, BatchNorm normalizes with the
+# CURRENT BATCH statistics (torch training semantics) instead of the
+# stored running stats, optionally recording per-layer batch stats (keyed
+# by id of the bn params dict) for post-training calibration ("precise
+# BN": re-estimate running stats over k batches after training, instead
+# of threading mutable running-average state through the jitted step).
+_TRAIN_MODE = False
+_BN_STATS: dict | None = None
+
+
+class train_mode:
+    """Context manager enabling batch-stat BatchNorm for model calls
+    traced within; pass a dict to also collect {id(bn): (mean, var)}."""
+
+    def __init__(self, collect: dict | None = None):
+        self.collect = collect
+
+    def __enter__(self):
+        global _TRAIN_MODE, _BN_STATS
+        self._prev = (_TRAIN_MODE, _BN_STATS)
+        _TRAIN_MODE, _BN_STATS = True, self.collect
+        return self.collect
+
+    def __exit__(self, *exc):
+        global _TRAIN_MODE, _BN_STATS
+        _TRAIN_MODE, _BN_STATS = self._prev
+        return False
+
 
 def make_divisible(x: float, divisor: int = 8) -> int:
     return max(divisor, int(x + divisor / 2) // divisor * divisor)
@@ -83,8 +111,16 @@ class Conv:
         y = _conv2d(x, params["w"].astype(dtype), self.s, self.pad, self.groups)
         if "bn" in params:
             bn = params["bn"]
-            scale = bn["gamma"] / jnp.sqrt(bn["var"] + BN_EPS)
-            bias = bn["beta"] - bn["mean"] * scale
+            if _TRAIN_MODE:
+                yf = y.astype(jnp.float32)
+                mean = yf.mean(axis=(0, 1, 2))
+                var = yf.var(axis=(0, 1, 2))
+                if _BN_STATS is not None:
+                    _BN_STATS[id(bn)] = (mean, var)
+            else:
+                mean, var = bn["mean"], bn["var"]
+            scale = bn["gamma"] / jnp.sqrt(var + BN_EPS)
+            bias = bn["beta"] - mean * scale
             y = y * scale + bias
         elif "b" in params:
             y = y + params["b"]

@@ -11,6 +11,13 @@ MAX_GT with a mask), so the whole train step jits and shards.
 Gains (box=7.5, cls=0.5, dfl=1.5) and assigner hyper-parameters
 (topk=10, alpha=0.5, beta=6.0) follow the published defaults the
 reference trains with.
+
+Bootstrap caveat (inherent to the recipe, not this implementation): at
+init the DFL prior predicts ~15-cell boxes, so gt boxes smaller than
+roughly 1/6 of that make CIoU^beta underflow the assigner eps and no
+anchor ever goes foreground.  The reference sidesteps this by training
+on 132px cutouts letterboxed up to 640 (~5x upscale of every gt); keep
+train-time gt boxes above ~20px at the train resolution.
 """
 
 from __future__ import annotations

@@ -24,6 +24,7 @@ import numpy as np
 import optax
 
 from caesar_yolo_tpu import logger
+from caesar_yolo_tpu.models import layers
 from caesar_yolo_tpu.models.yolo import YOLO
 from caesar_yolo_tpu.parallel.mesh import batch_sharding, replicated_sharding
 from caesar_yolo_tpu.train.loss import detection_loss
@@ -47,6 +48,7 @@ class TrainConfig:
     dfl_gain: float = 1.5
     ema_decay: float = 0.9999
     ema_tau: float = 2000.0
+    grad_clip_norm: float = 10.0
     max_gt: int = 64
 
 
@@ -73,6 +75,8 @@ def make_optimizer(cfg: TrainConfig, steps_per_epoch: int):
             lambda path, _: _is_decayed(path), params)
 
     tx = optax.chain(
+        # the published trainer clips at global-norm 10 before stepping
+        optax.clip_by_global_norm(cfg.grad_clip_norm),
         optax.add_decayed_weights(cfg.weight_decay, mask=wd_mask),
         optax.sgd(learning_rate=lr_fn, momentum=cfg.momentum, nesterov=True),
     )
@@ -123,7 +127,8 @@ class Trainer:
         model = self.model
 
         def loss_fn(params, images, gt_labels, gt_bboxes, mask_gt):
-            raw = model(params, images)
+            with layers.train_mode():
+                raw = model(params, images)
             total, parts = detection_loss(
                 raw, gt_labels, gt_bboxes, mask_gt, img_size=cfg.img_size,
                 box_gain=cfg.box_gain, cls_gain=cfg.cls_gain,
@@ -188,6 +193,65 @@ class Trainer:
                 self.save_checkpoint(checkpoint_dir, step=epoch + 1)
         if checkpoint_dir:
             self.save_checkpoint(checkpoint_dir, step=epochs, name="last")
+
+    # -- BatchNorm calibration -------------------------------------------------
+
+    def calibrate_bn(self, batches) -> None:
+        """Re-estimate BatchNorm running statistics ("precise BN").
+
+        Training normalizes with per-batch statistics (torch semantics);
+        instead of threading running-average state through the jitted
+        step, run `batches` (iterable of image arrays) through the model
+        in train mode, average the collected per-layer batch stats, and
+        write them into params AND ema_params.  Call once after training,
+        before inference/checkpointing.
+        """
+        model = self.model
+
+        def _walk_paths(node, path, out):
+            if isinstance(node, dict):
+                if {"gamma", "beta", "mean", "var"} <= set(node):
+                    out[path] = node
+                for k, v in node.items():
+                    _walk_paths(v, f"{path}/{k}", out)
+            elif isinstance(node, list):
+                for i, v in enumerate(node):
+                    _walk_paths(v, f"{path}/{i}", out)
+
+        @jax.jit
+        def collect(params, images):
+            stats: dict = {}
+            with layers.train_mode(stats):
+                model(params, images)
+            by_id = {}
+            _walk_paths(params, "", by_id)
+            return {path: stats[id(bn)] for path, bn in by_id.items()
+                    if id(bn) in stats}
+
+        sums: dict = {}
+        n = 0
+        for images in batches:
+            out = jax.device_get(collect(self.state.params,
+                                         jnp.asarray(images)))
+            for path, (mean, var) in out.items():
+                if path in sums:
+                    sums[path][0] += mean
+                    sums[path][1] += var
+                else:
+                    sums[path] = [np.asarray(mean, np.float64),
+                                  np.asarray(var, np.float64)]
+            n += 1
+        if n == 0:
+            return
+        for params in (self.state.params, self.state.ema_params):
+            by_path: dict = {}
+            _walk_paths(params, "", by_path)
+            for path, (mean, var) in sums.items():
+                bn = by_path[path]
+                bn["mean"] = jnp.asarray(mean / n, jnp.float32)
+                bn["var"] = jnp.asarray(var / n, jnp.float32)
+        logger.info("Calibrated BatchNorm stats over %d batches (%d layers)",
+                    n, len(sums))
 
     # -- checkpointing (orbax) ------------------------------------------------
 

@@ -1,0 +1,129 @@
+"""End-to-end training demonstrator: learn to detect synthetic Gaussian
+radio sources from scratch on TPU, then score completeness/reliability.
+
+This exercises the full training stack (TAL assigner + CIoU/DFL loss +
+optax SGD + EMA) and the detection stack (predictor + NMS + merge +
+metrics) with ground truth that is known exactly — the framework analog
+of the reference's train-then-evaluate loop (macros/run_train.py +
+macros/make_prediction.py) that can run without the radio-galaxy dataset.
+
+Tile synthesis runs ON DEVICE (jitted) so the loop is not host-transfer
+bound.  Source sizes are chosen so the task-aligned assigner can
+bootstrap from the DFL prior (~15-cell initial boxes): with gt boxes
+below ~1/6 of that, CIoU^beta underflows the assigner's eps and no
+anchor ever goes foreground — the same scale interaction the reference
+sidesteps by letterboxing 132px cutouts up to 640 (5x).
+
+Usage: python scripts/train_synth_demo.py [steps] [imgsz]
+"""
+
+import os
+import sys
+import time
+from functools import partial
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def make_tile_fn(size: int, max_src: int = 3, noise: float = 0.08):
+    import jax
+    import jax.numpy as jnp
+
+    yy, xx = np.mgrid[0:size, 0:size]
+    yy = jnp.asarray(yy, jnp.float32)
+    xx = jnp.asarray(xx, jnp.float32)
+
+    def one(key):
+        ks = jax.random.split(key, 5)
+        img = noise * jax.random.normal(ks[0], (size, size))
+        n_src = jax.random.randint(ks[1], (), 1, max_src + 1)
+        cx = jax.random.uniform(ks[2], (max_src,), minval=12, maxval=size - 12)
+        cy = jax.random.uniform(ks[3], (max_src,), minval=12, maxval=size - 12)
+        s = jax.random.uniform(ks[4], (max_src,), minval=4.0, maxval=8.0)
+        amp = 2.0 + 6.0 * jax.random.uniform(ks[0], (max_src,))
+        mask = jnp.arange(max_src) < n_src
+        blobs = amp[:, None, None] * jnp.exp(
+            -((xx[None] - cx[:, None, None]) ** 2
+              + (yy[None] - cy[:, None, None]) ** 2)
+            / (2 * s[:, None, None] ** 2))
+        img = img + jnp.sum(jnp.where(mask[:, None, None], blobs, 0.0), 0)
+        lo, hi = img.min(), img.max()
+        img = (img - lo) / jnp.maximum(hi - lo, 1e-6)
+        boxes = jnp.stack([cx - 2 * s, cy - 2 * s, cx + 2 * s, cy + 2 * s],
+                          -1)
+        labels = jnp.ones((max_src,), jnp.int32)
+        return jnp.repeat(img[:, :, None], 3, -1), labels, boxes, mask
+
+    @partial(jax.jit, static_argnames=("batch",))
+    def make(key, batch: int):
+        return jax.vmap(one)(jax.random.split(key, batch))
+
+    return make
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from caesar_yolo_tpu.detect import Predictor, merge_detections
+    from caesar_yolo_tpu.evaluation.metrics import compute_metrics
+    from caesar_yolo_tpu.models.yolo import build_model, init_params
+    from caesar_yolo_tpu.train import TrainConfig, Trainer
+
+    steps = int(sys.argv[1]) if len(sys.argv) > 1 else 800
+    size = int(sys.argv[2]) if len(sys.argv) > 2 else 96
+    batch = 16
+
+    model = build_model("yolov8n", num_classes=5)
+    params = init_params(model, seed=0)
+    cfg = TrainConfig(epochs=1, batch_size=batch, img_size=size,
+                      lr0=0.01, lrf=0.05, warmup_epochs=0.05, max_gt=3)
+    trainer = Trainer(model, params, cfg, steps_per_epoch=steps)
+    make = make_tile_fn(size)
+
+    key = jax.random.PRNGKey(0)
+    t0 = time.time()
+    for step in range(steps):
+        key, sub = jax.random.split(key)
+        imgs, labels, boxes, mask = make(sub, batch)
+        loss, parts = trainer.train_step(imgs, labels, boxes, mask)
+        if step % 100 == 0 or step == steps - 1:
+            print(f"step {step}: loss={float(loss):.3f} "
+                  f"box={float(parts['box']):.3f} "
+                  f"cls={float(parts['cls']):.3f} "
+                  f"dfl={float(parts['dfl']):.3f}", flush=True)
+    print(f"trained {steps} steps in {time.time() - t0:.1f}s")
+
+    # precise-BN calibration, then evaluate with EMA weights
+    ckey = jax.random.PRNGKey(4242)
+    cal_batches = []
+    for _ in range(16):
+        ckey, sub = jax.random.split(ckey)
+        cal_batches.append(make(sub, batch)[0])
+    trainer.calibrate_bn(cal_batches)
+    pred = Predictor(model, jax.device_get(trainer.state.ema_params),
+                     img_size=size, score_thr=0.10, iou_thr=0.5,
+                     compute_dtype=jnp.float32)
+    gt_list, pred_list = [], []
+    names = ["spurious", "compact", "extended", "extended-multisland",
+             "flagged"]
+    ekey = jax.random.PRNGKey(777)
+    imgs, labels, boxes, mask = (np.asarray(v) for v in make(ekey, 64))
+    for i in range(imgs.shape[0]):
+        gt_list.append({"bboxes": boxes[i][mask[i]],
+                        "labels": ["compact"] * int(mask[i].sum())})
+        b, s, c = pred.predict_image(imgs[i])
+        b, s, c = merge_detections(b, s, c)
+        pred_list.append({"bboxes": b, "labels": [names[int(k)] for k in c],
+                          "scores": s})
+    report = compute_metrics(gt_list, pred_list, iou_thr=0.5)
+    print(report.summary())
+    c = report.completeness["compact"].ratio
+    r = report.reliability["compact"].ratio
+    print(f"RESULT completeness={c:.3f} reliability={r:.3f}")
+    return 0 if c > 0.5 else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
