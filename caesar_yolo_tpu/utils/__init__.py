@@ -20,6 +20,14 @@ from caesar_yolo_tpu.utils.fits import (
     strip_deg_axis_from_header,
     write_fits,
 )
+from caesar_yolo_tpu.utils.misc import (
+    apply_mask,
+    compose_fcns,
+    read_filelist,
+    read_table,
+    set_type,
+    to_uint8,
+)
 from caesar_yolo_tpu.utils.resize import (
     resize_img,
     resize_img_v2,

@@ -215,3 +215,51 @@ def test_synthetic_mosaic_tiled_recovers_gt_regions(tmp_path, tiny_model,
     cat = json.loads((tmp_path / "catalog_mosaic.json").read_text())
     for s in cat["sources"]:
         assert 0 <= s["x1"] <= 256 and 0 <= s["y2"] <= 256
+
+
+def test_misc_utils(tmp_path):
+    from caesar_yolo_tpu.utils.misc import (apply_mask, compose_fcns,
+                                            read_filelist, read_table,
+                                            set_type, to_uint8)
+    f = tmp_path / "list.txt"
+    f.write_text("a.fits\n\nb.fits\n")
+    assert read_filelist(str(f)) == ["a.fits", "b.fits"]
+    t = tmp_path / "t.dat"
+    t.write_text("# hdr\n1 2 3\n4 5 6\n")
+    np.testing.assert_array_equal(read_table(str(t)), [[1, 2, 3], [4, 5, 6]])
+    img = np.zeros((4, 4, 3), np.float32)
+    mask = np.zeros((4, 4)); mask[1, 1] = 1
+    out = apply_mask(img, mask, (1.0, 0, 0), alpha=0.5)
+    assert out[1, 1, 0] == 127.5 and out[0, 0, 0] == 0
+    x = np.asarray([[0.0, 1.0], [3.0, np.nan]], np.float32)
+    u = to_uint8(x)
+    assert u.dtype == np.uint8 and u[0, 1] == 0 and u[1, 0] == 255
+    f2 = compose_fcns(lambda v: v + 1, lambda v: v * 2)
+    assert f2(3) == 7  # f(g(x)) = (3*2)+1
+    assert set_type("float64") == "float32" and set_type("uint8") == "uint8"
+
+
+def test_bn_train_mode_and_calibration():
+    """Train-mode BN uses batch stats; calibrate_bn writes running stats
+    that reproduce the train-mode output on the calibration data."""
+    from caesar_yolo_tpu.models import layers
+    from caesar_yolo_tpu.train import TrainConfig, Trainer
+    rng = np.random.default_rng(0)
+    m = build_model("yolov8n", num_classes=5)
+    p = init_params(m, seed=0)
+    x = jnp.asarray(rng.normal(0.5, 0.2, (2, 64, 64, 3)).astype(np.float32))
+    raw_eval = m(p, x)
+    with layers.train_mode():
+        raw_train = m(p, x)
+    # init running stats (0 mean/1 var) differ from batch stats
+    assert not np.allclose(np.asarray(raw_eval[0][1]),
+                           np.asarray(raw_train[0][1]), atol=1e-3)
+
+    cfg = TrainConfig(epochs=1, batch_size=2, img_size=64)
+    tr = Trainer(m, p, cfg, steps_per_epoch=1)
+    tr.calibrate_bn([x])
+    # calibrated eval mode ~ train-mode forward on the same single batch
+    raw_cal = m(tr.state.params, x)
+    np.testing.assert_allclose(np.asarray(raw_cal[0][1]),
+                               np.asarray(raw_train[0][1]),
+                               rtol=2e-2, atol=2e-3)
