@@ -38,7 +38,10 @@ def make_tile_fn(size: int, max_src: int = 3, noise: float = 0.08):
     def one(key):
         ks = jax.random.split(key, 5)
         img = noise * jax.random.normal(ks[0], (size, size))
-        n_src = jax.random.randint(ks[1], (), 1, max_src + 1)
+        # include source-FREE tiles so the detector learns noise rejection
+        # (mosaics are mostly empty; without this, noise-only tiles
+        # produce false positives that corrupt cross-tile stitching)
+        n_src = jax.random.randint(ks[1], (), 0, max_src + 1)
         cx = jax.random.uniform(ks[2], (max_src,), minval=12, maxval=size - 12)
         cy = jax.random.uniform(ks[3], (max_src,), minval=12, maxval=size - 12)
         s = jax.random.uniform(ks[4], (max_src,), minval=4.0, maxval=8.0)
@@ -122,6 +125,15 @@ def main():
     c = report.completeness["compact"].ratio
     r = report.reliability["compact"].ratio
     print(f"RESULT completeness={c:.3f} reliability={r:.3f}")
+
+    out = os.environ.get("SAVE_WEIGHTS", "")
+    if out:
+        from caesar_yolo_tpu.models.convert import save_params
+        save_params(jax.device_get(trainer.state.ema_params), out,
+                    meta={"model": "yolov8n", "num_classes": 5,
+                          "trained": f"synth{size} {steps} steps",
+                          "completeness": round(c, 4)})
+        print("saved weights to", out)
     return 0 if c > 0.5 else 1
 
 

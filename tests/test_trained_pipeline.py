@@ -1,0 +1,112 @@
+"""Capstone integration test: a REAL (synthetically-trained) detector
+through the full tiled pipeline recovers known sources.
+
+Uses tests/fixtures/yolov8n_synth96.npz — yolov8n trained from scratch
+on-TPU on synthetic Gaussian sources (scripts/train_synth_demo.py,
+held-out completeness 0.99).  Unlike the random-weight tests, this
+validates that tiling, batched inference, edge flagging, and cross-tile
+stitching COMPOSE correctly: sources straddling tile boundaries must
+come out once, at the right place.
+"""
+
+import json
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from caesar_yolo_tpu.models.convert import load_params
+from caesar_yolo_tpu.models.yolo import build_model
+from caesar_yolo_tpu.ops import build_preprocessor
+from caesar_yolo_tpu.parallel import SFinder, SFinderConfig, make_mesh
+from caesar_yolo_tpu.utils.boxes import iou_matrix_np
+from caesar_yolo_tpu.utils.synth import write_mosaic_fits
+
+FIXTURE = os.path.join(os.path.dirname(__file__), "fixtures",
+                       "yolov8n_synth96.npz")
+
+pytestmark = pytest.mark.skipif(not os.path.exists(FIXTURE),
+                                reason="trained fixture weights not built")
+
+
+@pytest.fixture(scope="module")
+def trained():
+    params, meta = load_params(FIXTURE)
+    model = build_model(meta["model"], num_classes=int(meta["num_classes"]))
+    return model, params
+
+
+def _completeness(gt_boxes, cat_sources, iou_thr=0.4):
+    if not cat_sources:
+        return 0.0
+    pred = np.asarray([[s["x1"], s["y1"], s["x2"], s["y2"]]
+                       for s in cat_sources], float)
+    iou = iou_matrix_np(np.asarray(gt_boxes, float), pred)
+    return float((iou.max(axis=1) >= iou_thr).mean())
+
+
+def test_trained_tiled_pipeline_recovers_sources(tmp_path, trained,
+                                                 monkeypatch):
+    model, params = trained
+    monkeypatch.chdir(tmp_path)
+    path = str(tmp_path / "mosaic.fits")
+    # deterministic layout matched to the training distribution: one
+    # source per tile interior plus one straddling a tile boundary (the
+    # stitch case).  Source extent stays below the 24px tile overlap —
+    # the same overlap-vs-source-size requirement the reference pipeline
+    # has (tile_step must leave overlap > max source size).
+    rng = np.random.default_rng(0)
+    img = rng.normal(0.0, 0.08, (192, 192)).astype(np.float32)
+    yy, xx = np.mgrid[0:192, 0:192]
+    centers = [(48, 48), (144, 48), (48, 144), (144, 144),
+               (96, 96)]  # last one sits on the 4-tile corner
+    gt = []
+    for cx, cy in centers:
+        s = 4.5
+        img += 6.0 * np.exp(-((xx - cx) ** 2 + (yy - cy) ** 2)
+                            / (2 * s * s)).astype(np.float32)
+        gt.append([cx - 2 * s, cy - 2 * s, cx + 2 * s, cy + 2 * s])
+    from caesar_yolo_tpu.utils.fits import write_fits
+    write_fits(img, path)
+    gt = np.asarray(gt)
+    cfg = SFinderConfig(
+        image_path=path, image_xmin=-1, image_xmax=-1, image_ymin=-1,
+        image_ymax=-1, img_size=96, score_thr=0.30,
+        split_image_in_tiles=True, tile_xsize=96, tile_ysize=96,
+        tile_xstep=0.75, tile_ystep=0.75, batch_size=8)
+    preproc = build_preprocessor(normalize_minmax=True)
+    sf = SFinder(model, params, cfg, preprocessor=preproc,
+                 mesh=make_mesh(),
+                 engine_kwargs={"compute_dtype": jnp.float32})
+    assert sf.run_tiled() == 0
+    cat = json.loads((tmp_path / "catalog_mosaic.json").read_text())
+    srcs = cat["sources"]
+    comp = _completeness(gt, srcs)
+    assert comp >= 0.8, f"completeness {comp} over {len(srcs)} detections"
+    # overlapping tiles must not produce duplicate detections of one gt
+    pred = np.asarray([[s["x1"], s["y1"], s["x2"], s["y2"]]
+                       for s in srcs], float)
+    iou = iou_matrix_np(np.asarray(gt, float), pred)
+    dup = (iou >= 0.4).sum(axis=1)
+    assert (dup <= 1).all(), f"duplicate stitched detections: {dup}"
+
+
+def test_trained_serial_matches_tiled(tmp_path, trained, monkeypatch):
+    """Serial whole-image detection finds the same sources the tiled path
+    does (tiling must be transparent)."""
+    model, params = trained
+    monkeypatch.chdir(tmp_path)
+    path = str(tmp_path / "m2.fits")
+    gt = write_mosaic_fits(path, nx=96, ny=96, n_sources=2, seed=3,
+                           noise_sigma=0.08, amp_range=(3.0, 8.0),
+                           sigma_range=(4.0, 7.0))
+    preproc = build_preprocessor(normalize_minmax=True)
+    cfg = SFinderConfig(image_path=path, image_xmin=-1, image_xmax=-1,
+                        image_ymin=-1, image_ymax=-1, img_size=96,
+                        score_thr=0.10)
+    sf = SFinder(model, params, cfg, preprocessor=preproc,
+                 engine_kwargs={"compute_dtype": jnp.float32})
+    assert sf.run() == 0
+    comp = _completeness(gt, sf.sources["sources"])
+    assert comp >= 0.5
