@@ -45,17 +45,19 @@ def _zscale_apply(x, vmin, vmax):
 
 
 def _stats_kernel(x_ref, vlim_ref, zlim_ref):
-    z = _zscale_apply(x_ref[:], vlim_ref[0, 0], vlim_ref[0, 1])
+    i = pl.program_id(0)
+    z = _zscale_apply(x_ref[:], vlim_ref[i, 0], vlim_ref[i, 1])
     valid = (z != 0) & jnp.isfinite(z)
-    zlim_ref[0, 0] = jnp.min(jnp.where(valid, z, jnp.inf))
-    zlim_ref[0, 1] = jnp.max(jnp.where(valid, z, -jnp.inf))
+    zlim_ref[i, 0] = jnp.min(jnp.where(valid, z, jnp.inf))
+    zlim_ref[i, 1] = jnp.max(jnp.where(valid, z, -jnp.inf))
 
 
 def _apply_kernel(x_ref, vlim_ref, zlim_ref, nlim_ref, out_ref):
-    z = _zscale_apply(x_ref[:], vlim_ref[0, 0], vlim_ref[0, 1])
+    i = pl.program_id(0)
+    z = _zscale_apply(x_ref[:], vlim_ref[i, 0], vlim_ref[i, 1])
     valid = (z != 0) & jnp.isfinite(z)
-    zmin = zlim_ref[0, 0]
-    zspan = zlim_ref[0, 1] - zmin
+    zmin = zlim_ref[i, 0]
+    zspan = zlim_ref[i, 1] - zmin
     norm_min = nlim_ref[0, 0]
     norm_max = nlim_ref[0, 1]
     out = (z - zmin) / jnp.where(zspan != 0, zspan, 1.0) \
@@ -86,7 +88,10 @@ def fused_zscale_minmax(tiles: jnp.ndarray, contrast: float = 0.25,
 
     tile_spec = pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM)
-    pair_spec = pl.BlockSpec((1, 2), lambda i: (i, 0),
+    # per-tile scalars live as FULL [b, 2] arrays in SMEM (TPU lowering
+    # requires block dims divisible by the hardware tile or equal to the
+    # array dims); kernels index their row with program_id
+    pair_spec = pl.BlockSpec((b, 2), lambda i: (0, 0),
                              memory_space=pltpu.SMEM)
 
     zlims = pl.pallas_call(
@@ -98,12 +103,13 @@ def fused_zscale_minmax(tiles: jnp.ndarray, contrast: float = 0.25,
         interpret=INTERPRET,
     )(tiles, vlims)
 
-    nlims = jnp.broadcast_to(
-        jnp.asarray([norm_min, norm_max], jnp.float32)[None, :], (b, 2))
+    nlims = jnp.asarray([[norm_min, norm_max]], jnp.float32)
+    nlim_spec = pl.BlockSpec((1, 2), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM)
     out = pl.pallas_call(
         _apply_kernel,
         grid=(b,),
-        in_specs=[tile_spec, pair_spec, pair_spec, pair_spec],
+        in_specs=[tile_spec, pair_spec, pair_spec, nlim_spec],
         out_specs=tile_spec,
         out_shape=jax.ShapeDtypeStruct((b, h, w), jnp.float32),
         interpret=INTERPRET,

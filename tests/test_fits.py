@@ -157,3 +157,64 @@ def test_native_tile_reader_matches_numpy(galaxy_fits_path):
     # out-of-bounds window -> None, not garbage
     assert fits_native.read_tiles_batch(galaxy_fits_path,
                                         [[0, 200, 0, 200]]) is None
+
+
+def _write_raw_fits(path, data_be, bitpix, nx, ny, bscale=None, bzero=None):
+    cards = [
+        f"{'SIMPLE':<8}= {'T':>20}",
+        f"{'BITPIX':<8}= {bitpix:>20}",
+        f"{'NAXIS':<8}= {2:>20}",
+        f"{'NAXIS1':<8}= {nx:>20}",
+        f"{'NAXIS2':<8}= {ny:>20}",
+    ]
+    if bscale is not None:
+        cards.append(f"{'BSCALE':<8}= {bscale:>20}")
+    if bzero is not None:
+        cards.append(f"{'BZERO':<8}= {bzero:>20}")
+    cards.append("END")
+    head = "".join(c.ljust(80) for c in cards).encode("ascii")
+    head += b" " * (-len(head) % 2880)
+    body = data_be.tobytes()
+    body += b"\x00" * (-len(body) % 2880)
+    with open(path, "wb") as f:
+        f.write(head + body)
+
+
+def test_int16_bscale_fits_both_readers(tmp_path):
+    """BITPIX=16 with BSCALE/BZERO decodes identically in the numpy and
+    native readers (physical = raw*bscale + bzero)."""
+    import numpy as np
+    from caesar_yolo_tpu.utils import fits_native, read_fits, read_fits_crop
+    rng = np.random.default_rng(0)
+    raw = rng.integers(-1000, 1000, (24, 16), dtype=np.int16)
+    path = str(tmp_path / "i16.fits")
+    _write_raw_fits(path, raw.astype(">i2"), 16, 16, 24,
+                    bscale=0.5, bzero=100.0)
+    expect = raw.astype(np.float32) * 0.5 + 100.0
+
+    full, header, _ = read_fits(path)
+    np.testing.assert_allclose(full, expect, rtol=1e-6)
+    crop, _, _ = read_fits_crop(path, 2, 10, 3, 20)
+    np.testing.assert_allclose(crop, expect[3:20, 2:10], rtol=1e-6)
+
+    if fits_native.available():
+        tiles = fits_native.read_tiles_batch(path, [[2, 10, 3, 20]])
+        np.testing.assert_allclose(tiles[0], expect[3:20, 2:10], rtol=1e-6)
+
+
+def test_float64_fits_both_readers(tmp_path):
+    import numpy as np
+    from caesar_yolo_tpu.utils import fits_native, read_fits
+    rng = np.random.default_rng(1)
+    data = rng.normal(size=(8, 8))
+    data[0, 0] = np.nan  # NaN -> 0 convention
+    path = str(tmp_path / "f64.fits")
+    _write_raw_fits(path, data.astype(">f8"), -64, 8, 8)
+    full, _, _ = read_fits(path)
+    expect = data.copy()
+    expect[0, 0] = 0.0
+    np.testing.assert_allclose(full, expect, rtol=1e-12)
+    if fits_native.available():
+        tiles = fits_native.read_tiles_batch(path, [[0, 8, 0, 8]])
+        np.testing.assert_allclose(tiles[0], expect.astype(np.float32),
+                                   rtol=1e-6)
