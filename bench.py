@@ -91,7 +91,7 @@ def main():
 
     model_name = os.environ.get("BENCH_MODEL", "yolov8n")
     img_size = int(os.environ.get("BENCH_IMGSZ", "640"))
-    batch = int(os.environ.get("BENCH_BATCH", "64"))
+    batch = int(os.environ.get("BENCH_BATCH", "128"))
     iters = int(os.environ.get("BENCH_ITERS", "20"))
 
     model = build_model(model_name, num_classes=5)
