@@ -110,3 +110,48 @@ def test_trained_serial_matches_tiled(tmp_path, trained, monkeypatch):
     assert sf.run() == 0
     comp = _completeness(gt, sf.sources["sources"])
     assert comp >= 0.5
+
+
+def test_evaluate_cli_with_trained_weights(tmp_path, monkeypatch):
+    """The evaluation CLI produces meaningful C/R with the trained fixture
+    (the reference's make_prediction macro flow)."""
+    import jax
+    from caesar_yolo_tpu.cli.evaluate import main
+    from caesar_yolo_tpu.utils.fits import write_fits
+
+    rng = np.random.default_rng(5)
+    (tmp_path / "images").mkdir()
+    (tmp_path / "labels").mkdir()
+    paths = []
+    yy, xx = np.mgrid[0:96, 0:96]
+    for i in range(4):
+        img = rng.normal(0.0, 0.08, (96, 96)).astype(np.float32)
+        cx, cy, s = rng.uniform(20, 76), rng.uniform(20, 76), 4.5
+        img += 6.0 * np.exp(-((xx - cx) ** 2 + (yy - cy) ** 2)
+                            / (2 * s * s)).astype(np.float32)
+        lo, hi = img.min(), img.max()
+        img = (img - lo) / (hi - lo)
+        p = tmp_path / "images" / f"im{i}.fits"
+        write_fits(img, str(p))
+        # class 1 = compact; normalized cx cy w h
+        (tmp_path / "labels" / f"im{i}.txt").write_text(
+            f"1 {cx/96:.4f} {cy/96:.4f} {4*s/96:.4f} {4*s/96:.4f}\n")
+        paths.append(str(p))
+    (tmp_path / "filelist.txt").write_text("\n".join(paths))
+
+    import io
+    from contextlib import redirect_stdout
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = main([f"--weights={FIXTURE}",
+                   f"--filelist={tmp_path / 'filelist.txt'}",
+                   f"--label_dir={tmp_path / 'labels'}",
+                   "--imgsize=96", "--scoreThr=0.3",
+                   "--iouThr_match=0.4"])
+    assert rc == 0
+    out = buf.getvalue()
+    assert "compact" in out
+    # all 4 single bright sources should be found
+    import re
+    m = re.search(r"compact: C=([0-9.]+)", out)
+    assert m and float(m.group(1)) >= 0.75, out
