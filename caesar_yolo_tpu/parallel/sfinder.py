@@ -131,9 +131,10 @@ class SFinder:
         base = os.path.basename(os.path.abspath(config.image_path))
         self.image_id = os.path.splitext(base)[0]
         self.header = None
-        self.beam_area = 0.0
+        self.beam_info = None  # dx/dy/bmaj/bmin/pa/pixel_area/beam_area
         self.nx = self.ny = -1
         self.xmin = self.ymin = 0
+        self._predictor = None  # compiled serial-path predictor cache
 
     # -- image metadata ------------------------------------------------------
 
@@ -171,7 +172,7 @@ class SFinder:
             self.xmin, self.ymin = 0, 0
             self.xmax, self.ymax = self.nx - 1, self.ny - 1
         if self.header is not None:
-            self.beam_area = beam_area_from_header(self.header) or 0.0
+            self.beam_info = beam_area_from_header(self.header)
         return 0
 
     # -- serial path ---------------------------------------------------------
@@ -201,10 +202,12 @@ class SFinder:
             logger.error("Unsupported image format (%s) given!", ext)
             return -1
 
-        predictor = Predictor(
-            self.model, self.params, img_size=cfg.img_size,
-            score_thr=cfg.score_thr, iou_thr=cfg.iou_thr,
-            **self.engine_kwargs)
+        if self._predictor is None:
+            self._predictor = Predictor(
+                self.model, self.params, img_size=cfg.img_size,
+                score_thr=cfg.score_thr, iou_thr=cfg.iou_thr,
+                **self.engine_kwargs)
+        predictor = self._predictor
         outputs = AnalyzerOutputs(
             write_json=cfg.save_catalog, write_ds9=cfg.save_region,
             save_img=cfg.save_img, draw=cfg.draw_plot,
@@ -272,7 +275,6 @@ class SFinder:
                 "devices, or max_ntasks_per_worker!", per_worker,
                 cfg.max_ntasks_per_worker)
             return -1
-        neighbors = neighbor_table(tiles)
         self.report.n_tiles = len(tiles)
         logger.info("Split image %s into %d tiles (%dx%d, step %.2f/%.2f)",
                     self.image_id, len(tiles), cfg.tile_xsize,
@@ -487,7 +489,9 @@ class SFinder:
         if cfg.save_tile_region:
             write_ds9_regions(objs,
                               f"catalog_{self.image_id}_tid{t.tid}.reg")
-        return {"objs": objs, "tileId": t.tid, "workerId": 0,
+        import jax as _jax
+        return {"objs": objs, "tileId": t.tid,
+                "workerId": _jax.process_index(),
                 "neighborTileIds": neighbor_ids or [],
                 "xmin": t.xmin, "xmax": t.xmax,
                 "ymin": t.ymin, "ymax": t.ymax}
