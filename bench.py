@@ -105,7 +105,7 @@ def main():
         x = letterbox_batch(imgs, img_size).astype(jnp.bfloat16)
         raw = model(params, x)
         boxes, scores = decode_dfl(raw, img_size)
-        b, s, c, v = nms_batch(boxes, scores, conf_thr=0.7, iou_thr=0.5)
+        b, s, c, v, _ = nms_batch(boxes, scores, conf_thr=0.7, iou_thr=0.5)
         b = unletterbox_boxes(b, img_size, img_size, img_size)
         # zero-scaled dependency serializes chained iterations
         dep = (jnp.sum(b) + jnp.sum(s)) * 0.0

@@ -69,6 +69,10 @@ def parse_args(argv=None):
     # DETECT
     parser.add_argument("--scoreThr", type=float, default=0.7)
     parser.add_argument("--iouThr", type=float, default=0.5)
+    parser.add_argument("--pre_nms", type=int, default=1024,
+                        help="Pre-NMS candidate window (above-threshold "
+                        "candidates beyond it are dropped WITH a log; "
+                        "raise for crowded fields)")
     parser.add_argument("--merge_overlap_iou_thr_soft", type=float,
                         default=0.3)
     parser.add_argument("--merge_overlap_iou_thr_hard", type=float,
@@ -191,7 +195,7 @@ def main(argv=None) -> int:
         image_xmin=args.xmin, image_xmax=args.xmax,
         image_ymin=args.ymin, image_ymax=args.ymax,
         img_size=args.imgsize, score_thr=args.scoreThr,
-        iou_thr=args.iouThr,
+        iou_thr=args.iouThr, pre_nms=args.pre_nms,
         merge_overlap_iou_thr_soft=args.merge_overlap_iou_thr_soft,
         merge_overlap_iou_thr_hard=args.merge_overlap_iou_thr_hard,
         split_image_in_tiles=args.split_img_in_tiles,

@@ -38,8 +38,10 @@ def letterbox(image: jnp.ndarray, img_size: int,
     r, new_h, new_w, top, left = letterbox_geometry(h, w, img_size)
     out = image
     if (new_h, new_w) != (h, w):
+        # antialias=False: plain bilinear, matching the published pipeline's
+        # cv2.INTER_LINEAR / torch bilinear semantics on downscale too
         out = jax.image.resize(out.astype(jnp.float32), (new_h, new_w, c),
-                               method="linear")
+                               method="linear", antialias=False)
     return jnp.pad(out, ((top, img_size - new_h - top),
                          (left, img_size - new_w - left), (0, 0)),
                    constant_values=pad_value)

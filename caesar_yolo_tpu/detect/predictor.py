@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from caesar_yolo_tpu.detect.letterbox import letterbox_batch, unletterbox_boxes
-from caesar_yolo_tpu.detect.nms import nms_batch
+from caesar_yolo_tpu.detect.nms import DEFAULT_PRE_NMS, nms_batch
 from caesar_yolo_tpu.models.layers import fuse_tree
 from caesar_yolo_tpu.models.yolo import YOLO, decode_dfl
 
@@ -32,12 +32,14 @@ class Predictor:
 
     predict_batch(images[B, H, W, C] float32 in [0,1]) ->
       (boxes[B, MAXDET, 4] xyxy in image coords, scores[B, MAXDET],
-       class_ids[B, MAXDET], valid[B, MAXDET]) as device arrays.
+       class_ids[B, MAXDET], valid[B, MAXDET], n_dropped[B]) as device
+    arrays.  n_dropped counts above-threshold candidates truncated by the
+    pre_nms window (log-worthy; never silently ignored downstream).
     """
 
     def __init__(self, model: YOLO, params, *, img_size: int = 640,
                  score_thr: float = 0.7, iou_thr: float = 0.5,
-                 max_det: int = 300, pre_nms: int = 256,
+                 max_det: int = 300, pre_nms: int = DEFAULT_PRE_NMS,
                  compute_dtype=jnp.bfloat16, fuse: bool = True,
                  input_scale: float = 1.0, channel_flip: bool = False):
         self.model = model
@@ -71,9 +73,14 @@ class Predictor:
         b, h, w, c = shape
         S = self.img_size
 
+        # ultralytics pads with 114 BEFORE its unconditional /255; with
+        # input_scale set, pad so that pad*input_scale == 114/255.
+        from caesar_yolo_tpu.detect.letterbox import PAD_VALUE
+        pad = PAD_VALUE / self.input_scale
+
         @jax.jit
         def step(params, images):
-            x = letterbox_batch(images.astype(jnp.float32), S)
+            x = letterbox_batch(images.astype(jnp.float32), S, pad_value=pad)
             if self.channel_flip:
                 x = x[..., ::-1]
             if self.input_scale != 1.0:
@@ -81,11 +88,11 @@ class Predictor:
             x = x.astype(self.compute_dtype)
             raw = self.model(params, x)
             boxes, scores = decode_dfl(raw, S)
-            bsel, ssel, csel, vsel = nms_batch(
+            bsel, ssel, csel, vsel, ndrop = nms_batch(
                 boxes, scores, conf_thr=self.score_thr, iou_thr=self.iou_thr,
                 max_det=self.max_det, pre_nms=self.pre_nms)
             bsel = unletterbox_boxes(bsel, h, w, S)
-            return bsel, ssel, csel, vsel
+            return bsel, ssel, csel, vsel, ndrop
 
         return step
 
@@ -102,7 +109,14 @@ class Predictor:
     def predict_image(self, image):
         """Single [H, W, C] image -> host numpy (boxes[N,4], scores[N],
         class_ids[N]) with padding stripped."""
-        bsel, ssel, csel, vsel = self.predict_batch(image)
+        bsel, ssel, csel, vsel, ndrop = self.predict_batch(image)
+        n_dropped = int(np.asarray(ndrop[0]))
+        if n_dropped:
+            from caesar_yolo_tpu import logger
+            logger.warning(
+                "NMS pre-filter dropped %d above-threshold candidates "
+                "(pre_nms=%d too small for this field; raise it)",
+                n_dropped, self.pre_nms)
         v = np.asarray(vsel[0])
         return (np.asarray(bsel[0])[v], np.asarray(ssel[0])[v],
                 np.asarray(csel[0])[v])

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from caesar_yolo_tpu.detect.letterbox import letterbox_batch, unletterbox_boxes
-from caesar_yolo_tpu.detect.nms import nms_batch
+from caesar_yolo_tpu.detect.nms import DEFAULT_PRE_NMS, nms_batch
 from caesar_yolo_tpu.detect.predictor import _fuse_head
 from caesar_yolo_tpu.models.layers import fuse_tree
 from caesar_yolo_tpu.models.yolo import YOLO, decode_dfl
@@ -46,7 +46,9 @@ class TileEngine:
 
     process(tiles[B, H, W, C]) -> host numpy
       (boxes[B, MAXDET, 4] xyxy in TILE coords, scores[B, MAXDET],
-       class_ids[B, MAXDET], valid[B, MAXDET], tile_ok[B]).
+       class_ids[B, MAXDET], valid[B, MAXDET], tile_ok[B], n_dropped[B]).
+    n_dropped counts above-threshold candidates truncated by the pre_nms
+    window (callers must log nonzero counts — no silent caps).
 
     B must be a multiple of the mesh size (callers pad; see SFinder).
     """
@@ -54,7 +56,7 @@ class TileEngine:
     def __init__(self, model: YOLO, params, *, preprocessor=None,
                  mesh=None, img_size: int = 640, score_thr: float = 0.7,
                  iou_thr: float = 0.5, max_det: int = 300,
-                 pre_nms: int = 256, compute_dtype=jnp.bfloat16,
+                 pre_nms: int = DEFAULT_PRE_NMS, compute_dtype=jnp.bfloat16,
                  fuse: bool = True):
         self.model = model
         self.preprocessor = preprocessor
@@ -102,18 +104,18 @@ class TileEngine:
             x = letterbox_batch(imgs, S).astype(self.compute_dtype)
             raw = self.model(params, x)
             boxes, scores = decode_dfl(raw, S)
-            bsel, ssel, csel, vsel = nms_batch(
+            bsel, ssel, csel, vsel, ndrop = nms_batch(
                 boxes, scores, conf_thr=self.score_thr, iou_thr=self.iou_thr,
                 max_det=self.max_det, pre_nms=self.pre_nms)
             bsel = unletterbox_boxes(bsel, h, w, S)
             vsel = vsel & tile_ok[:, None]
-            return bsel, ssel, csel, vsel, tile_ok
+            return bsel, ssel, csel, vsel, tile_ok, ndrop
 
         if self.mesh is not None:
             bsh = batch_sharding(self.mesh)
             rsh = replicated_sharding(self.mesh)
             return jax.jit(step, in_shardings=(rsh, bsh),
-                           out_shardings=(bsh, bsh, bsh, bsh, bsh))
+                           out_shardings=(bsh, bsh, bsh, bsh, bsh, bsh))
         return jax.jit(step)
 
     def process_async(self, tiles):

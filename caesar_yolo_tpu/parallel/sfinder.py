@@ -73,6 +73,10 @@ class SFinderConfig:
     img_size: int = 640
     score_thr: float = 0.7
     iou_thr: float = 0.5
+    # static pre-NMS candidate window (ultralytics considers 30000; a
+    # fixed-shape TPU program picks a top-k window and REPORTS overflow
+    # instead of silently truncating — see detect/nms.py)
+    pre_nms: int = 1024
     merge_overlap_iou_thr_soft: float = 0.3
     merge_overlap_iou_thr_hard: float = 0.8
     split_image_in_tiles: bool = False
@@ -206,7 +210,7 @@ class SFinder:
             self._predictor = Predictor(
                 self.model, self.params, img_size=cfg.img_size,
                 score_thr=cfg.score_thr, iou_thr=cfg.iou_thr,
-                **self.engine_kwargs)
+                pre_nms=cfg.pre_nms, **self.engine_kwargs)
         predictor = self._predictor
         outputs = AnalyzerOutputs(
             write_json=cfg.save_catalog, write_ds9=cfg.save_region,
@@ -285,7 +289,7 @@ class SFinder:
                 self.model, self.params, preprocessor=self.preprocessor,
                 mesh=self.mesh, img_size=cfg.img_size,
                 score_thr=cfg.score_thr, iou_thr=cfg.iou_thr,
-                **self.engine_kwargs)
+                pre_nms=cfg.pre_nms, **self.engine_kwargs)
         engine = self._engine
 
         t_detect = time.time()
@@ -411,9 +415,15 @@ class SFinder:
                         ([tile_batch[i] for i in ok_idx],
                          engine.process_async(arr)))
                 for kept_tiles, outs in pending:
-                    boxes, scores, cls, valid, tile_ok = (
+                    boxes, scores, cls, valid, tile_ok, ndrop = (
                         np.asarray(o) for o in outs)
                     for k, t in enumerate(kept_tiles):
+                        if ndrop[k]:
+                            logger.warning(
+                                "Tile %d: NMS pre-filter dropped %d "
+                                "above-threshold candidates (raise "
+                                "pre_nms=%d for this field)", t.tid,
+                                int(ndrop[k]), cfg.pre_nms)
                         if not tile_ok[k]:
                             continue
                         tr = self._tile_objects(

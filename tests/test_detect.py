@@ -31,8 +31,8 @@ def test_nms_suppresses_overlaps():
     boxes = jnp.asarray([[0, 0, 10, 10], [1, 1, 10, 10], [20, 20, 30, 30]],
                         jnp.float32)
     scores = _scores(3, [(1, 0.9), (1, 0.8), (2, 0.7)])
-    b, s, c, v = nms_single(boxes, scores, conf_thr=0.25, iou_thr=0.5,
-                            max_det=8, pre_nms=3)
+    b, s, c, v, _ = nms_single(boxes, scores, conf_thr=0.25, iou_thr=0.5,
+                               max_det=8, pre_nms=3)
     v = np.asarray(v)
     assert v.sum() == 2
     np.testing.assert_allclose(np.asarray(s)[v], [0.9, 0.7])
@@ -43,11 +43,11 @@ def test_nms_class_aware():
     """Same geometry, different classes -> both kept (agnostic=False)."""
     boxes = jnp.asarray([[0, 0, 10, 10], [0, 0, 10, 10]], jnp.float32)
     scores = _scores(2, [(1, 0.9), (2, 0.8)])
-    _, _, _, v = nms_single(boxes, scores, conf_thr=0.25, iou_thr=0.5,
-                            max_det=8, pre_nms=2)
+    _, _, _, v, _ = nms_single(boxes, scores, conf_thr=0.25, iou_thr=0.5,
+                               max_det=8, pre_nms=2)
     assert np.asarray(v).sum() == 2
-    _, _, _, v = nms_single(boxes, scores, conf_thr=0.25, iou_thr=0.5,
-                            max_det=8, pre_nms=2, class_agnostic=True)
+    _, _, _, v, _ = nms_single(boxes, scores, conf_thr=0.25, iou_thr=0.5,
+                               max_det=8, pre_nms=2, class_agnostic=True)
     assert np.asarray(v).sum() == 1
 
 
@@ -56,8 +56,8 @@ def test_nms_conf_threshold_and_maxdet():
                         jnp.float32)
     scores = _scores(6, [(0, 0.9), (1, 0.8), (2, 0.7), (3, 0.6), (4, 0.5),
                          (0, 0.1)])
-    b, s, c, v = nms_single(boxes, scores, conf_thr=0.45, iou_thr=0.5,
-                            max_det=3, pre_nms=6)
+    b, s, c, v, _ = nms_single(boxes, scores, conf_thr=0.45, iou_thr=0.5,
+                               max_det=3, pre_nms=6)
     v = np.asarray(v)
     assert v.sum() == 3  # 5 pass conf, capped at 3
     np.testing.assert_allclose(np.asarray(s)[v], [0.9, 0.8, 0.7])
@@ -66,8 +66,8 @@ def test_nms_conf_threshold_and_maxdet():
 def test_nms_scores_descending_and_padded():
     boxes = jnp.asarray([[0, 0, 10, 10]], jnp.float32)
     scores = _scores(1, [(3, 0.6)])
-    b, s, c, v = nms_single(boxes, scores, conf_thr=0.25, iou_thr=0.5,
-                            max_det=4, pre_nms=1)
+    b, s, c, v, _ = nms_single(boxes, scores, conf_thr=0.25, iou_thr=0.5,
+                               max_det=4, pre_nms=1)
     assert np.asarray(v).tolist() == [True, False, False, False]
     assert np.asarray(s)[1:].tolist() == [0.0, 0.0, 0.0]
 

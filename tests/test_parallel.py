@@ -117,7 +117,7 @@ def test_engine_invalid_tiles_masked(tiny_model):
                         compute_dtype=jnp.float32)
     tiles = np.random.default_rng(0).random((2, 48, 48, 1), dtype=np.float32)
     tiles[1] = 0.0  # degenerate tile
-    boxes, scores, cls, valid, tile_ok = engine.process(tiles)
+    boxes, scores, cls, valid, tile_ok, _ = engine.process(tiles)
     assert tile_ok.tolist() == [True, False]
     assert not valid[1].any()
 
