@@ -76,9 +76,52 @@ def bench_mosaic():
     }))
 
 
+def bench_eval():
+    """Dataset-eval mode (BENCH_MODE=eval): the reference's main
+    quality-eval workload — thousands of 132px cutouts — through the
+    shape-bucketed BatchedDetector (one compile, prefetch, batched NMS).
+    Reports images/sec; vs_baseline against the 500 tiles/s north-star
+    scaled by (132/640)^2 pixel area is meaningless, so it uses the
+    image rate directly against 500 imgs/s."""
+    import jax
+    import jax.numpy as jnp
+    from caesar_yolo_tpu.detect.batch import BatchedDetector
+    from caesar_yolo_tpu.models.yolo import build_model, init_params
+    from caesar_yolo_tpu.ops import build_preprocessor
+
+    model_name = os.environ.get("BENCH_MODEL", "yolov8n")
+    n_imgs = int(os.environ.get("BENCH_NIMGS", "1000"))
+    batch = int(os.environ.get("BENCH_BATCH", "64"))
+    size = int(os.environ.get("BENCH_CUTOUT", "132"))
+
+    model = build_model(model_name, num_classes=5)
+    params = init_params(model, seed=0)
+    preproc = build_preprocessor(zscale_stretch=True, normalize_minmax=True)
+    rng = np.random.default_rng(0)
+    imgs = {i: rng.random((size, size, 1), dtype=np.float32)
+            for i in range(n_imgs)}
+    det = BatchedDetector(model, params, preprocessor=preproc,
+                          img_size=640, score_thr=0.25, batch_size=batch)
+    det.detect_many(list(range(batch)), lambda k: imgs[k])  # compile
+    t0 = time.perf_counter()
+    out = det.detect_many(list(imgs), lambda k: imgs[k])
+    dt = time.perf_counter() - t0
+    assert len(out) == n_imgs
+    assert len(det.engine._compiled) == 1, "eval mode must compile once"
+    rate = n_imgs / dt
+    print(json.dumps({
+        "metric": f"{model_name} dataset-eval {size}px cutouts imgs/sec",
+        "value": round(rate, 2),
+        "unit": "imgs/s",
+        "vs_baseline": round(rate / 500.0, 3),
+    }))
+
+
 def main():
     if os.environ.get("BENCH_MODE") == "mosaic":
         return bench_mosaic()
+    if os.environ.get("BENCH_MODE") == "eval":
+        return bench_eval()
     import jax
     import jax.numpy as jnp
     from caesar_yolo_tpu.detect.letterbox import letterbox_batch, \

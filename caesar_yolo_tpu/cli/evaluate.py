@@ -29,6 +29,9 @@ def parse_args(argv=None):
     p.add_argument("--merge_overlap_iou_thr_soft", type=float, default=0.3)
     p.add_argument("--merge_overlap_iou_thr_hard", type=float, default=0.8)
     p.add_argument("--maxnimgs", type=int, default=-1)
+    p.add_argument("--pre_nms", type=int, default=1024)
+    p.add_argument("--batch_size", type=int, default=32,
+                   help="images per compiled device batch")
     p.add_argument("--preprocessing", action="store_true")
     p.add_argument("--zscale_stretch", action="store_true")
     p.add_argument("--normalize_minmax", action="store_true")
@@ -41,7 +44,6 @@ def parse_args(argv=None):
 def main(argv=None) -> int:
     args = parse_args(argv)
     from caesar_yolo_tpu.cli.run import load_model_and_params
-    from caesar_yolo_tpu.detect.predictor import Predictor
     from caesar_yolo_tpu.evaluation import evaluate_dataset
     from caesar_yolo_tpu.ops import build_preprocessor
 
@@ -54,11 +56,12 @@ def main(argv=None) -> int:
             chan3_preproc=args.chan3_preproc,
             sigma_clip_low=args.sigma_clip_low,
             sigma_clip_up=args.sigma_clip_up)
-    predictor = Predictor(model, params, img_size=args.imgsize,
-                          score_thr=args.scoreThr, iou_thr=args.iouThr_nms)
     report = evaluate_dataset(
-        predictor, args.filelist,
+        model, params, args.filelist,
         label_dir=args.label_dir or None, preprocessor=preproc,
+        img_size=args.imgsize, score_thr=args.scoreThr,
+        nms_iou_thr=args.iouThr_nms, pre_nms=args.pre_nms,
+        batch_size=args.batch_size,
         soft_merge_thr=args.merge_overlap_iou_thr_soft,
         hard_merge_thr=args.merge_overlap_iou_thr_hard,
         iou_thr=args.iouThr_match, max_images=args.maxnimgs)

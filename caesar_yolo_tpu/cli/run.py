@@ -172,6 +172,85 @@ def load_model_and_params(args):
     return model, params
 
 
+def run_datalist_tiled(model, params, cfg, images, preproc, mesh) -> int:
+    """Tiled detection over a datalist, sharing ONE compiled TileEngine
+    (and its jit cache) across all images."""
+    from dataclasses import replace
+
+    from caesar_yolo_tpu.parallel import SFinder
+
+    status = 0
+    engine = None
+    for path in images:
+        sf = SFinder(model, params, replace(cfg, image_path=path),
+                     preprocessor=preproc, mesh=mesh, engine=engine)
+        rc = sf.run_tiled()
+        engine = sf._engine
+        if rc != 0:
+            logger.error("Detection failed on %s, continuing", path)
+            status = 1
+    return status
+
+
+def run_datalist_batched(model, params, cfg, images, preproc) -> int:
+    """Whole-image detection over a datalist, batched by shape through
+    one compiled program per shape (the reference dispatches the model
+    once per image, macros/make_prediction.py:645-658)."""
+    import time
+
+    from caesar_yolo_tpu.detect.batch import BatchedDetector
+    from caesar_yolo_tpu.detect.merge import merge_detections
+    from caesar_yolo_tpu.evaluation.evaluate import load_eval_image
+    from caesar_yolo_tpu.outputs.catalog import (
+        make_json_results,
+        make_objects,
+        write_json,
+    )
+    from caesar_yolo_tpu.outputs.ds9 import write_ds9_regions
+
+    t0 = time.time()
+    detector = BatchedDetector(
+        model, params, preprocessor=preproc, img_size=cfg.img_size,
+        score_thr=cfg.score_thr, iou_thr=cfg.iou_thr, pre_nms=cfg.pre_nms,
+        batch_size=cfg.batch_size)
+    shapes = {}
+
+    def load(p):
+        img = load_eval_image(p)
+        if img is not None:
+            shapes[p] = img.shape[:2]
+        return img
+
+    detections = detector.detect_many(images, load)
+    status = 0
+    n_total = 0
+    for path in images:
+        det = detections.get(path)
+        image_id = os.path.splitext(os.path.basename(path))[0]
+        if det is None:
+            logger.error("Detection failed on %s, continuing", path)
+            status = 1
+            continue
+        boxes, scores, cls, ok = det
+        if not ok:
+            logger.warning("Image %s degenerate, no prediction", path)
+            boxes, scores, cls = boxes[:0], scores[:0], cls[:0]
+        boxes, scores, cls = merge_detections(
+            boxes, scores, cls, soft_thr=cfg.merge_overlap_iou_thr_soft,
+            hard_thr=cfg.merge_overlap_iou_thr_hard)
+        objs = make_objects(boxes, scores, cls, image_shape=shapes[path],
+                            class_names=cfg.class_names)
+        n_total += len(objs)
+        if cfg.save_catalog:
+            write_json(make_json_results(image_id, objs),
+                       f"out_{image_id}.json")
+        if cfg.save_region:
+            write_ds9_regions(objs, f"out_{image_id}.reg")
+    logger.info("Datalist done: %d images, %d objects (%.2fs)",
+                len(images), n_total, time.time() - t0)
+    return status
+
+
 def main(argv=None) -> int:
     args = parse_args(argv)
     if validate_args(args) < 0:
@@ -214,20 +293,13 @@ def main(argv=None) -> int:
     mesh = make_mesh() if args.split_img_in_tiles else None
 
     if args.datalist:
-        from dataclasses import replace
         images = [p.strip() for p in open(args.datalist) if p.strip()]
         if args.maxnimgs > 0:
             images = images[:args.maxnimgs]
-        status = 0
-        for path in images:
-            icfg = replace(cfg, image_path=path)
-            sf = SFinder(model, params, icfg, preprocessor=preproc,
-                         mesh=mesh)
-            rc = sf.run_tiled() if args.split_img_in_tiles else sf.run()
-            if rc != 0:
-                logger.error("Detection failed on %s, continuing", path)
-                status = 1
-        return status
+        if args.split_img_in_tiles:
+            return run_datalist_tiled(model, params, cfg, images,
+                                      preproc, mesh)
+        return run_datalist_batched(model, params, cfg, images, preproc)
 
     sf = SFinder(model, params, cfg, preprocessor=preproc, mesh=mesh)
     rc = sf.run_tiled() if args.split_img_in_tiles else sf.run()

@@ -1,0 +1,118 @@
+"""Shape-bucketed, batch-padded, prefetching multi-image detection.
+
+The reference's dataset workloads (datalist detection, quality
+evaluation over thousands of 132px cutouts — reference
+macros/make_prediction.py:645-658, scripts/run.py datalist loop) call
+the model once per image.  On TPU that wastes the MXU: this runner
+groups images by shape, pads each group into fixed batches, overlaps
+host image loading with device compute, and drives everything through
+ONE compiled TileEngine program per shape (preprocessing fused in-graph,
+degenerate-image guard vectorized).
+
+A 1000-cutout datalist triggers at most a couple of compiles (one per
+distinct image shape) instead of 1000.
+"""
+
+from __future__ import annotations
+
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+
+from caesar_yolo_tpu import logger
+from caesar_yolo_tpu.parallel.engine import TileEngine
+
+
+class BatchedDetector:
+    """Batched detection over many images through a shared TileEngine.
+
+    detect_many(items, load_fn) -> {key: (boxes, scores, class_ids, ok)}
+      items:   sequence of keys (paths, ids, ...)
+      load_fn: key -> [H, W, C] float32 array (or None on read failure)
+
+    Results are raw per-image NMS outputs in image coords with padding
+    stripped; callers apply merge_detections / output writers.
+    """
+
+    def __init__(self, model, params, *, preprocessor=None, mesh=None,
+                 img_size: int = 640, score_thr: float = 0.7,
+                 iou_thr: float = 0.5, pre_nms: int = 1024,
+                 batch_size: int = 32, engine: TileEngine | None = None,
+                 **engine_kwargs):
+        self.engine = engine or TileEngine(
+            model, params, preprocessor=preprocessor, mesh=mesh,
+            img_size=img_size, score_thr=score_thr, iou_thr=iou_thr,
+            pre_nms=pre_nms, **engine_kwargs)
+        n_dev = int(np.prod(mesh.devices.shape)) if mesh else 1
+        b = max(batch_size, n_dev)
+        self.batch_size = ((b + n_dev - 1) // n_dev) * n_dev
+        self.pre_nms = pre_nms
+
+    def detect_many(self, items, load_fn, *, read_workers: int = 8):
+        from collections import deque
+        results: dict = {}
+        with ThreadPoolExecutor(max_workers=read_workers) as pool:
+            buckets: dict[tuple, list] = {}  # shape -> [(key, img)]
+            pending: list = []               # [(keys, device outputs)]
+
+            def dispatch(pairs, shape):
+                h, w, c = shape
+                arr = np.zeros((self.batch_size, h, w, c), np.float32)
+                for i, (_, img) in enumerate(pairs):
+                    arr[i] = img
+                pending.append(([k for k, _ in pairs],
+                                self.engine.process_async(arr)))
+                # drain one behind dispatch: bounds device-result memory
+                # while still overlapping host load with device compute
+                if len(pending) > 1:
+                    self._drain(pending.pop(0), results)
+
+            # bounded read-ahead window: loads overlap device compute
+            # without ever holding more than ~2 batches of images
+            keys_iter = iter(items)
+            futs: deque = deque()
+
+            def submit_next():
+                try:
+                    k = next(keys_iter)
+                except StopIteration:
+                    return False
+                futs.append((k, pool.submit(load_fn, k)))
+                return True
+
+            for _ in range(2 * self.batch_size):
+                if not submit_next():
+                    break
+            while futs:
+                key, fut = futs.popleft()
+                img = fut.result()
+                submit_next()
+                if img is None:
+                    logger.warning("Skipping unreadable image %s", key)
+                    results[key] = None
+                    continue
+                img = np.asarray(img, np.float32)
+                if img.ndim == 2:
+                    img = img[:, :, None]
+                shape = img.shape
+                buckets.setdefault(shape, []).append((key, img))
+                if len(buckets[shape]) == self.batch_size:
+                    dispatch(buckets.pop(shape), shape)
+            for shape, pairs in buckets.items():
+                dispatch(pairs, shape)
+            for p in pending:
+                self._drain(p, results)
+        return results
+
+    def _drain(self, item, results):
+        keys, outs = item
+        boxes, scores, cls, valid, ok, ndrop = (np.asarray(o) for o in outs)
+        for i, key in enumerate(keys):
+            if ndrop[i]:
+                logger.warning(
+                    "Image %s: NMS pre-filter dropped %d above-threshold "
+                    "candidates (raise pre_nms=%d)", key, int(ndrop[i]),
+                    self.pre_nms)
+            v = valid[i]
+            results[key] = (boxes[i][v], scores[i][v], cls[i][v],
+                            bool(ok[i]))

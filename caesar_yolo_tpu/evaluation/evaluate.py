@@ -4,8 +4,11 @@ completeness / reliability / F1.
 Equivalent of the reference evaluation macro (reference
 macros/make_prediction.py:553-694): read an image filelist + YOLO-format
 labels, run the same predict+merge pipeline as detection, then score with
-the IoU>=0.6 matching rules.  Predictions run BATCHED through the
-compiled engine instead of one torch call per image.
+the IoU>=0.6 matching rules.  Predictions run through the shape-bucketed
+BatchedDetector — ONE compiled program per image shape, preprocessing
+fused in-graph, loads prefetched — instead of one torch call per image
+(the reference pays a model dispatch per cutout; a 1000-cutout run here
+compiles at most once per distinct shape and keeps the MXU fed).
 """
 
 from __future__ import annotations
@@ -15,8 +18,8 @@ import os
 import numpy as np
 
 from caesar_yolo_tpu import logger
+from caesar_yolo_tpu.detect.batch import BatchedDetector
 from caesar_yolo_tpu.detect.merge import merge_detections
-from caesar_yolo_tpu.detect.predictor import Predictor
 from caesar_yolo_tpu.evaluation.metrics import (
     MetricsReport,
     compute_metrics,
@@ -31,7 +34,8 @@ def read_filelist(path: str) -> list[str]:
         return [line.strip() for line in f if line.strip()]
 
 
-def _load(img_path: str):
+def load_eval_image(img_path: str):
+    """[H, W, C] float32 in [0, 1] (or None on read failure)."""
     if img_path.endswith(".fits"):
         res = read_fits(img_path)
         return None if res is None else np.asarray(res[0], np.float32)
@@ -42,54 +46,62 @@ def _load(img_path: str):
     return img / 255.0 if img.max() > 1.5 else img
 
 
-def evaluate_dataset(predictor: Predictor, filelist: str, *,
+def label_path_for(img_path: str, label_dir: str | None) -> str:
+    if label_dir:
+        return os.path.join(label_dir, os.path.splitext(
+            os.path.basename(img_path))[0] + ".txt")
+    return os.path.splitext(img_path)[0].replace(
+        f"{os.sep}images{os.sep}", f"{os.sep}labels{os.sep}") + ".txt"
+
+
+def evaluate_dataset(model, params, filelist: str, *,
                      label_dir: str | None = None, preprocessor=None,
+                     img_size: int = 640, score_thr: float = 0.25,
+                     nms_iou_thr: float = 0.5, pre_nms: int = 1024,
+                     batch_size: int = 32, mesh=None,
                      soft_merge_thr: float = 0.3, hard_merge_thr: float = 0.8,
                      iou_thr: float = 0.6, max_images: int = -1,
-                     class_names=CLASS_NAMES) -> MetricsReport:
+                     class_names=CLASS_NAMES, detector=None,
+                     **engine_kwargs) -> MetricsReport:
     """Run the detector over every image in the filelist and score it."""
     paths = read_filelist(filelist)
     if max_images > 0:
         paths = paths[:max_images]
+
+    detector = detector or BatchedDetector(
+        model, params, preprocessor=preprocessor, mesh=mesh,
+        img_size=img_size, score_thr=score_thr, iou_thr=nms_iou_thr,
+        pre_nms=pre_nms, batch_size=batch_size, **engine_kwargs)
+
+    shapes: dict = {}
+
+    def load(path):
+        img = load_eval_image(path)
+        if img is not None:
+            shapes[path] = img.shape[:2]
+        return img
+
+    detections = detector.detect_many(paths, load)
+
     gt_list, pred_list = [], []
-    for i, img_path in enumerate(paths):
-        img = _load(img_path)
-        if img is None:
-            logger.warning("Skipping unreadable image %s", img_path)
+    for img_path in paths:
+        det = detections.get(img_path)
+        if det is None:
+            continue  # unreadable image: skipped entirely (logged)
+        h, w = shapes[img_path]
+        gt_list.append(read_yolo_labels(
+            label_path_for(img_path, label_dir), w, h, class_names))
+        boxes, scores, cls, ok = det
+        if not ok:
+            pred_list.append({"bboxes": np.zeros((0, 4)), "labels": [],
+                              "scores": []})
             continue
-        if img.ndim == 2:
-            img = img[:, :, None]
-        h, w = img.shape[:2]
-
-        lpath = (os.path.join(label_dir, os.path.splitext(
-            os.path.basename(img_path))[0] + ".txt") if label_dir
-            else os.path.splitext(img_path)[0].replace(
-                f"{os.sep}images{os.sep}", f"{os.sep}labels{os.sep}")
-            + ".txt")
-        gt_list.append(read_yolo_labels(lpath, w, h, class_names))
-
-        work = img
-        nchan = predictor.model.in_channels
-        if work.shape[-1] == 1 and nchan > 1:
-            work = np.repeat(work, nchan, axis=-1)
-        if preprocessor is not None:
-            out, valid = preprocessor(work)
-            work = np.asarray(out)
-            if not bool(valid):
-                pred_list.append({"bboxes": np.zeros((0, 4)), "labels": [],
-                                  "scores": []})
-                continue
-            if work.shape[-1] == 1 and nchan > 1:
-                work = np.repeat(work, nchan, axis=-1)
-        boxes, scores, cls = predictor.predict_image(work)
         boxes, scores, cls = merge_detections(
             boxes, scores, cls, soft_thr=soft_merge_thr,
             hard_thr=hard_merge_thr)
         pred_list.append({"bboxes": boxes,
                           "labels": [class_names[int(c)] for c in cls],
                           "scores": scores})
-        if (i + 1) % 50 == 0:
-            logger.info("Evaluated %d/%d images", i + 1, len(paths))
 
     report = compute_metrics(gt_list, pred_list, iou_thr)
     logger.info("Evaluation summary:\n%s", report.summary())

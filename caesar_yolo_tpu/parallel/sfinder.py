@@ -122,7 +122,8 @@ class SFinder:
     """Mosaic source finder over a (possibly multi-chip) TPU mesh."""
 
     def __init__(self, model, params, config: SFinderConfig, *,
-                 preprocessor=None, mesh=None, engine_kwargs=None):
+                 preprocessor=None, mesh=None, engine_kwargs=None,
+                 predictor=None, engine=None):
         self.model = model
         self.params = params
         self.config = config
@@ -131,14 +132,16 @@ class SFinder:
         self.engine_kwargs = dict(engine_kwargs or {})
         self.sources: dict = {"sources": []}
         self.report = SFinderReport()
-        self._engine = None  # compiled engine cache (reused across runs)
+        # compiled engine caches; injectable so datalist runs share ONE
+        # jit cache across images instead of recompiling per SFinder
+        self._engine = engine
         base = os.path.basename(os.path.abspath(config.image_path))
         self.image_id = os.path.splitext(base)[0]
         self.header = None
         self.beam_info = None  # dx/dy/bmaj/bmin/pa/pixel_area/beam_area
         self.nx = self.ny = -1
         self.xmin = self.ymin = 0
-        self._predictor = None  # compiled serial-path predictor cache
+        self._predictor = predictor  # compiled serial-path cache
 
     # -- image metadata ------------------------------------------------------
 

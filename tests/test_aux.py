@@ -263,3 +263,32 @@ def test_bn_train_mode_and_calibration():
     np.testing.assert_allclose(np.asarray(raw_cal[0][1]),
                                np.asarray(raw_train[0][1]),
                                rtol=2e-2, atol=2e-3)
+
+
+def test_cli_datalist_batched(tmp_path, monkeypatch):
+    """Datalist detection runs through the batched compile-once path and
+    writes per-image catalogs (reference scripts/run.py datalist loop)."""
+    from caesar_yolo_tpu.cli.run import main
+    from caesar_yolo_tpu.models.convert import save_params
+    from caesar_yolo_tpu.models.yolo import build_model, init_params
+
+    rng = np.random.default_rng(0)
+    paths = []
+    for i in range(3):
+        p = tmp_path / f"cut{i}.fits"
+        write_fits(rng.random((48, 48), np.float32), str(p))
+        paths.append(str(p))
+    (tmp_path / "list.txt").write_text("\n".join(paths))
+    m = build_model("yolov8n", num_classes=5)
+    w = tmp_path / "w.npz"
+    save_params(init_params(m, 0), str(w),
+                meta={"model": "yolov8n", "num_classes": 5})
+    monkeypatch.chdir(tmp_path)
+    rc = main([f"--weights={w}", f"--datalist={tmp_path / 'list.txt'}",
+               "--imgsize=64", "--scoreThr=0.001", "--batch_size=2"])
+    assert rc == 0
+    import json as _json
+    for i in range(3):
+        cat = _json.loads((tmp_path / f"out_cut{i}.json").read_text())
+        assert cat["image_id"] == f"cut{i}"
+        assert (tmp_path / f"out_cut{i}.reg").exists()

@@ -83,10 +83,11 @@ def test_read_yolo_labels(tmp_path):
 
 
 def test_evaluate_dataset_end_to_end(tmp_path):
-    """Full evaluate_dataset drive: filelist + labels -> predictor ->
-    metrics report."""
+    """Full evaluate_dataset drive: filelist + labels -> batched engine ->
+    metrics report.  Mixed image shapes must trigger exactly one compile
+    per distinct shape (the compile-once contract for dataset evals)."""
     import jax.numpy as jnp
-    from caesar_yolo_tpu.detect import Predictor
+    from caesar_yolo_tpu.detect.batch import BatchedDetector
     from caesar_yolo_tpu.evaluation import evaluate_dataset
     from caesar_yolo_tpu.models.yolo import build_model, init_params
     from caesar_yolo_tpu.utils.fits import write_fits
@@ -95,18 +96,50 @@ def test_evaluate_dataset_end_to_end(tmp_path):
     (tmp_path / "images").mkdir()
     (tmp_path / "labels").mkdir()
     paths = []
-    for i in range(3):
+    for i in range(7):
         p = tmp_path / "images" / f"im{i}.fits"
-        write_fits(rng.random((48, 48), np.float32), str(p))
+        size = 48 if i < 5 else 56  # two shape buckets
+        write_fits(rng.random((size, size), np.float32), str(p))
         (tmp_path / "labels" / f"im{i}.txt").write_text(
             "1 0.5 0.5 0.3 0.3\n")
         paths.append(str(p))
     (tmp_path / "filelist.txt").write_text("\n".join(paths))
 
     m = build_model("yolov8n", num_classes=5)
-    pred = Predictor(m, init_params(m, 0), img_size=64, score_thr=1e-4,
-                     compute_dtype=jnp.float32)
-    report = evaluate_dataset(pred, str(tmp_path / "filelist.txt"),
-                              label_dir=str(tmp_path / "labels"))
-    assert report.completeness["compact"].n == 3
+    params = init_params(m, 0)
+    det = BatchedDetector(m, params, img_size=64, score_thr=1e-4,
+                          batch_size=4, compute_dtype=jnp.float32)
+    report = evaluate_dataset(m, params, str(tmp_path / "filelist.txt"),
+                              label_dir=str(tmp_path / "labels"),
+                              detector=det)
+    assert report.completeness["compact"].n == 7
     assert "source" in report.f1
+    # 5x48px + 2x56px images, batch 4 -> exactly 2 compiled programs
+    assert len(det.engine._compiled) == 2
+
+
+def test_batched_detector_matches_predictor(tmp_path):
+    """Batched path == per-image Predictor path, detection for
+    detection (same compiled ops, different batching)."""
+    import jax.numpy as jnp
+    from caesar_yolo_tpu.detect import Predictor
+    from caesar_yolo_tpu.detect.batch import BatchedDetector
+    from caesar_yolo_tpu.models.yolo import build_model, init_params
+
+    rng = np.random.default_rng(3)
+    imgs = {f"k{i}": rng.random((48, 48, 1), dtype=np.float32)
+            for i in range(5)}
+    m = build_model("yolov8n", num_classes=5)
+    params = init_params(m, 0)
+    det = BatchedDetector(m, params, img_size=64, score_thr=1e-3,
+                          batch_size=2, compute_dtype=jnp.float32)
+    out = det.detect_many(list(imgs), lambda k: imgs[k])
+    pred = Predictor(m, params, img_size=64, score_thr=1e-3,
+                     compute_dtype=jnp.float32)
+    for k, img in imgs.items():
+        boxes, scores, cls, ok = out[k]
+        rb, rs, rc = pred.predict_image(np.repeat(img, 3, axis=-1))
+        assert ok
+        np.testing.assert_allclose(boxes, rb, rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(scores, rs, rtol=1e-5, atol=1e-6)
+        np.testing.assert_array_equal(cls, rc)
