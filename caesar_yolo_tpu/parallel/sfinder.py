@@ -113,7 +113,9 @@ class SFinderReport:
     """Run observability: timings and per-tile failures."""
     runtime_s: float = 0.0
     n_tiles: int = 0
+    n_local_tiles: int = 0  # tiles this process owned (multi-host stripe)
     n_sources: int = 0
+    max_inflight_batches: int = 0  # peak read-futures + undrained batches
     phase_times: dict = field(default_factory=dict)
     tile_errors: list = field(default_factory=list)
 
@@ -321,8 +323,14 @@ class SFinder:
         return 0
 
     def _spool_file(self) -> str:
+        """Per-process spool name: multi-host runs on a shared filesystem
+        must not collide (the reference writes only from rank 0,
+        inference.py:641-648; our spool is per-rank local state)."""
+        import jax as _jax
+        suffix = (f".p{_jax.process_index()}"
+                  if _jax.process_count() > 1 else "")
         return (self.config.spool_path
-                or f".{self.image_id}.tilespool.jsonl")
+                or f".{self.image_id}.tilespool{suffix}.jsonl")
 
     def _load_spool(self) -> dict:
         """tid -> tile result dict from a previous crashed run."""
@@ -367,6 +375,7 @@ class SFinder:
                 continue
             if nproc > 1 and t.tid % nproc != pid:
                 continue
+            self.report.n_local_tiles += 1
             groups.setdefault((t.height, t.width), []).append(t)
 
         def read_tile(t: TileWindow):
@@ -390,16 +399,59 @@ class SFinder:
                     return [t[:, :, None] for t in tiles_np]
             return list(pool.map(read_tile, tile_batch))
 
+        def drain(item):
+            kept_tiles, outs = item
+            boxes, scores, cls, valid, tile_ok, ndrop = (
+                np.asarray(o) for o in outs)
+            for k, t in enumerate(kept_tiles):
+                if ndrop[k]:
+                    logger.warning(
+                        "Tile %d: NMS pre-filter dropped %d "
+                        "above-threshold candidates (raise "
+                        "pre_nms=%d for this field)", t.tid,
+                        int(ndrop[k]), cfg.pre_nms)
+                if not tile_ok[k]:
+                    continue
+                tr = self._tile_objects(
+                    t, boxes[k][valid[k]], scores[k][valid[k]],
+                    cls[k][valid[k]], neighbor_ids=None)
+                if cfg.save_tile_img:
+                    from caesar_yolo_tpu.utils.fits import write_fits
+                    write_fits(arrs_by_tid.pop(t.tid),
+                               f"timg_{self.image_id}_tid{t.tid}.fits")
+                results.append(tr)
+                spool.write(json.dumps(tr) + "\n")
+            spool.flush()
+
+        # Streaming pipeline with BOUNDED memory: at most 2 read futures
+        # in flight and at most 2 device batches undrained, whatever the
+        # mosaic size (the reference reads one tile window at a time and
+        # never holds the mosaic, inference.py:190-195; a 100k-tile run
+        # here holds ~4 batches, not 100k tiles).
         results = []
         with ThreadPoolExecutor(max_workers=8) as pool:
             for (h, w), group in groups.items():
                 batches = [group[i:i + batch]
                            for i in range(0, len(group), batch)]
-                # prefetch reads one batch ahead of device compute
-                futures = [pool.submit(read_batch, b) for b in batches]
-                pending = []  # (batch_tiles, device outputs)
-                for tile_batch, fut in zip(batches, futures):
+                from collections import deque
+                futures: deque = deque()
+                next_batch = 0
+
+                def submit_read():
+                    nonlocal next_batch
+                    if next_batch < len(batches):
+                        futures.append(
+                            (batches[next_batch],
+                             pool.submit(read_batch, batches[next_batch])))
+                        next_batch += 1
+
+                submit_read()
+                submit_read()
+                pending = deque()  # (batch_tiles, device outputs)
+                while futures:
+                    tile_batch, fut = futures.popleft()
                     datas = fut.result()
+                    submit_read()
                     ok_idx = [i for i, d in enumerate(datas)
                               if d is not None]
                     for i, d in enumerate(datas):
@@ -417,30 +469,13 @@ class SFinder:
                     pending.append(
                         ([tile_batch[i] for i in ok_idx],
                          engine.process_async(arr)))
-                for kept_tiles, outs in pending:
-                    boxes, scores, cls, valid, tile_ok, ndrop = (
-                        np.asarray(o) for o in outs)
-                    for k, t in enumerate(kept_tiles):
-                        if ndrop[k]:
-                            logger.warning(
-                                "Tile %d: NMS pre-filter dropped %d "
-                                "above-threshold candidates (raise "
-                                "pre_nms=%d for this field)", t.tid,
-                                int(ndrop[k]), cfg.pre_nms)
-                        if not tile_ok[k]:
-                            continue
-                        tr = self._tile_objects(
-                            t, boxes[k][valid[k]], scores[k][valid[k]],
-                            cls[k][valid[k]],
-                            neighbor_ids=None)
-                        if cfg.save_tile_img:
-                            from caesar_yolo_tpu.utils.fits import write_fits
-                            write_fits(
-                                arrs_by_tid[t.tid],
-                                f"timg_{self.image_id}_tid{t.tid}.fits")
-                        results.append(tr)
-                        spool.write(json.dumps(tr) + "\n")
-                    spool.flush()
+                    self.report.max_inflight_batches = max(
+                        self.report.max_inflight_batches,
+                        len(futures) + len(pending))
+                    if len(pending) > 2:
+                        drain(pending.popleft())
+                while pending:
+                    drain(pending.popleft())
         spool.close()
         results.extend(done.values())
         if nproc > 1:
@@ -512,8 +547,14 @@ class SFinder:
     # -- output --------------------------------------------------------------
 
     def save(self):
-        """Write the mosaic catalog + DS9 regions
-        (reference inference.py:1167-1287)."""
+        """Write the mosaic catalog + DS9 regions, master process only
+        (reference inference.py:641-648, 1167-1287).  Every process
+        holds the full stitched catalog (the allgather is symmetric),
+        but concurrent writes to one path on a shared filesystem race —
+        only process 0 touches disk."""
+        import jax as _jax
+        if _jax.process_index() != 0:
+            return
         cfg = self.config
         if cfg.save_catalog:
             out = cfg.outfile_json or f"catalog_{self.image_id}.json"

@@ -163,3 +163,25 @@ def test_gather_multihost_roundtrip(tiny_model, tmp_path):
             "ymax": 1}]
     with pytest.raises(ValueError):
         sf._gather_multihost(big)
+
+
+def test_streaming_io_bounded(tmp_path, tiny_model, monkeypatch):
+    """Many-batch tiled run holds a BOUNDED pipeline: at most 2 read
+    futures + 3 undrained device batches in flight, regardless of the
+    tile count (the reference never holds the mosaic either — windowed
+    per-tile reads, inference.py:190-195)."""
+    from caesar_yolo_tpu.utils.synth import write_mosaic_fits
+    m, p = tiny_model
+    monkeypatch.chdir(tmp_path)
+    path = str(tmp_path / "big.fits")
+    write_mosaic_fits(path, nx=512, ny=512, n_sources=10)
+    cfg = SFinderConfig(
+        image_path=path, image_xmin=-1, image_xmax=-1, image_ymin=-1,
+        image_ymax=-1, img_size=32, score_thr=0.5,
+        split_image_in_tiles=True, tile_xsize=32, tile_ysize=32,
+        tile_xstep=1.0, tile_ystep=1.0, batch_size=16,
+        max_ntasks_per_worker=300)
+    sf = SFinder(m, p, cfg, engine_kwargs={"compute_dtype": jnp.float32})
+    assert sf.run_tiled() == 0
+    assert sf.report.n_tiles == 256  # 16 batches through the pipeline
+    assert 2 <= sf.report.max_inflight_batches <= 5
