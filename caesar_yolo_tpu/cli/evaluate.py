@@ -32,6 +32,10 @@ def parse_args(argv=None):
     p.add_argument("--pre_nms", type=int, default=1024)
     p.add_argument("--batch_size", type=int, default=32,
                    help="images per compiled device batch")
+    p.add_argument("--save_detail", default="",
+                   help="write per-image match detail JSON here")
+    p.add_argument("--save_plot", default="",
+                   help="write a per-class C/R/F1 bar figure here (.png)")
     p.add_argument("--preprocessing", action="store_true")
     p.add_argument("--zscale_stretch", action="store_true")
     p.add_argument("--normalize_minmax", action="store_true")
@@ -64,7 +68,8 @@ def main(argv=None) -> int:
         batch_size=args.batch_size,
         soft_merge_thr=args.merge_overlap_iou_thr_soft,
         hard_merge_thr=args.merge_overlap_iou_thr_hard,
-        iou_thr=args.iouThr_match, max_images=args.maxnimgs)
+        iou_thr=args.iouThr_match, max_images=args.maxnimgs,
+        detail_out=args.save_detail, plot_out=args.save_plot)
     print(report.summary())
     return 0
 

@@ -40,7 +40,39 @@ def parse_args(argv=None):
     p.add_argument("--fliplr", type=float, default=0.5)
     p.add_argument("--no_augment", action="store_true")
     p.add_argument("--seed", type=int, default=0)
+    # training-time validation (the reference gets per-epoch val metrics
+    # from ultralytics; reference macros/run_train.py:20-45)
+    p.add_argument("--val_data", default="",
+                   help="val images: a directory, a filelist txt, or "
+                        "empty to use the dataset.yaml 'val' split")
+    p.add_argument("--val_every", type=int, default=10,
+                   help="validate every N epochs (0 = only at the end)")
+    p.add_argument("--val_score_thr", type=float, default=0.25)
+    p.add_argument("--val_iou_match", type=float, default=0.6)
+    p.add_argument("--val_max_images", type=int, default=200)
     return p.parse_args(argv)
+
+
+def list_val_images(args) -> list[str] | None:
+    """Resolve the validation image list from --val_data or the
+    dataset.yaml val split; None when no validation source exists."""
+    import os
+
+    from caesar_yolo_tpu.evaluation.evaluate import read_filelist
+    from caesar_yolo_tpu.train.dataset import list_images, parse_dataset_yaml
+    if args.val_data:
+        if os.path.isdir(args.val_data):
+            return list_images(args.val_data) or None
+        return read_filelist(args.val_data) or None
+    if args.data.endswith((".yaml", ".yml")):
+        spec = parse_dataset_yaml(args.data)
+        if "val" in spec:
+            root = spec.get("path", os.path.dirname(args.data))
+            rel = spec["val"]
+            d = rel if os.path.isabs(rel) else os.path.join(root, rel)
+            if os.path.isdir(d):
+                return list_images(d) or None
+    return None
 
 
 def main(argv=None) -> int:
@@ -92,14 +124,59 @@ def main(argv=None) -> int:
             yield (np.asarray(aimgs), labels, np.asarray(aboxes),
                    np.asarray(amasks))
 
+    # training-time validation: C/R/F1 on the val split with EMA params
+    # after precise-BN calibration; the best-F1 epoch is checkpointed as
+    # "best" (the reference's best.pt / last.pt convention)
+    val_paths = list_val_images(args)
+    val_detector = None
+    if val_paths:
+        from caesar_yolo_tpu.detect.batch import BatchedDetector
+        val_detector = BatchedDetector(
+            model, params, img_size=args.imgsz,
+            score_thr=args.val_score_thr, batch_size=min(batch, 32))
+        logger.info("Validating on %d images every %d epoch(s)",
+                    len(val_paths), max(args.val_every, 1))
+    best_f1 = -1.0
+
+    def run_validation(epoch):
+        nonlocal best_f1
+        import itertools
+
+        from caesar_yolo_tpu.evaluation import evaluate_dataset
+        trainer.calibrate_bn(
+            imgs for imgs, *_ in itertools.islice(iter(dataset), 8))
+        val_detector.engine.update_params(
+            jax.device_get(trainer.state.ema_params))
+        report = evaluate_dataset(
+            model, None, val_paths, detector=val_detector,
+            score_thr=args.val_score_thr, iou_thr=args.val_iou_match,
+            max_images=args.val_max_images,
+            class_names=dataset.class_names or
+            model.CLASS_NAMES)
+        f1 = report.f1.get("source", 0.0)
+        if f1 is None or not np.isfinite(f1):
+            f1 = 0.0  # no predictions yet -> define F1 as 0
+        logger.info("epoch %d val F1(source)=%.4f\n%s", epoch, f1,
+                    report.summary())
+        if f1 > best_f1:
+            best_f1 = f1
+            trainer.save_checkpoint(args.checkpoint_dir, step=epoch,
+                                    name="best")
+        return f1
+
     for epoch in range(args.epochs):
         trainer.fit(augmented(epoch), epochs=1,
                     checkpoint_dir=None)
         if args.checkpoint_dir and (epoch + 1) % args.checkpoint_every == 0:
             trainer.save_checkpoint(args.checkpoint_dir, step=epoch + 1)
+        if (val_detector is not None and args.val_every
+                and (epoch + 1) % args.val_every == 0):
+            run_validation(epoch + 1)
     # precise-BN: re-estimate running stats before the final checkpoint
     trainer.calibrate_bn(
         imgs for imgs, *_ in augmented(args.epochs))
+    if val_detector is not None:
+        run_validation(args.epochs)
     trainer.save_checkpoint(args.checkpoint_dir, step=args.epochs,
                             name="last")
     return 0

@@ -54,7 +54,7 @@ def label_path_for(img_path: str, label_dir: str | None) -> str:
         f"{os.sep}images{os.sep}", f"{os.sep}labels{os.sep}") + ".txt"
 
 
-def evaluate_dataset(model, params, filelist: str, *,
+def evaluate_dataset(model, params, filelist, *,
                      label_dir: str | None = None, preprocessor=None,
                      img_size: int = 640, score_thr: float = 0.25,
                      nms_iou_thr: float = 0.5, pre_nms: int = 1024,
@@ -62,9 +62,13 @@ def evaluate_dataset(model, params, filelist: str, *,
                      soft_merge_thr: float = 0.3, hard_merge_thr: float = 0.8,
                      iou_thr: float = 0.6, max_images: int = -1,
                      class_names=CLASS_NAMES, detector=None,
+                     detail_out: str = "", plot_out: str = "",
                      **engine_kwargs) -> MetricsReport:
-    """Run the detector over every image in the filelist and score it."""
-    paths = read_filelist(filelist)
+    """Run the detector over every image in the filelist and score it.
+
+    filelist: path of a text filelist, or a ready list of image paths."""
+    paths = (read_filelist(filelist) if isinstance(filelist, str)
+             else list(filelist))
     if max_images > 0:
         paths = paths[:max_images]
 
@@ -105,4 +109,17 @@ def evaluate_dataset(model, params, filelist: str, *,
 
     report = compute_metrics(gt_list, pred_list, iou_thr)
     logger.info("Evaluation summary:\n%s", report.summary())
+    if detail_out:
+        import json
+
+        from caesar_yolo_tpu.evaluation.metrics import per_image_match_detail
+        kept = [p for p in paths if detections.get(p) is not None]
+        with open(detail_out, "w") as f:
+            json.dump(per_image_match_detail(kept, gt_list, pred_list,
+                                             iou_thr), f, indent=2)
+        logger.info("Wrote per-image match detail to %s", detail_out)
+    if plot_out:
+        from caesar_yolo_tpu.evaluation.metrics import save_report_figure
+        save_report_figure(report, plot_out)
+        logger.info("Wrote metrics figure to %s", plot_out)
     return report

@@ -134,6 +134,70 @@ def compute_metrics(gt_list, pred_list, iou_thr: float = 0.6) -> MetricsReport:
     return MetricsReport(completeness=comp, reliability=rel, f1=f1)
 
 
+def per_image_match_detail(keys, gt_list, pred_list,
+                           iou_thr: float = 0.6) -> list[dict]:
+    """Per-image matched/unmatched detail (the reference eval macro also
+    emits per-image match info alongside the summary,
+    make_prediction.py:328-547): for every gt and every prediction, its
+    box, label, and match partner (or none)."""
+    detail = []
+    for key, gt, pred in zip(keys, gt_list, pred_list):
+        g_matched, g_best = _best_matches(gt["bboxes"], pred["bboxes"],
+                                          iou_thr)
+        p_matched, p_best = _best_matches(pred["bboxes"], gt["bboxes"],
+                                          iou_thr)
+        scores = list(pred.get("scores", []))
+        detail.append({
+            "image": key,
+            "n_gt": len(gt["labels"]),
+            "n_pred": len(pred["labels"]),
+            "gt": [{
+                "bbox": [float(v) for v in gt["bboxes"][j]],
+                "label": gt["labels"][j],
+                "detected": bool(g_matched[j]),
+                "pred_index": int(g_best[j]),
+                "pred_label": (pred["labels"][g_best[j]]
+                               if g_matched[j] else "none"),
+            } for j in range(len(gt["labels"]))],
+            "pred": [{
+                "bbox": [float(v) for v in pred["bboxes"][j]],
+                "label": pred["labels"][j],
+                "score": float(scores[j]) if j < len(scores) else -1.0,
+                "matched": bool(p_matched[j]),
+                "gt_index": int(p_best[j]),
+            } for j in range(len(pred["labels"]))],
+        })
+    return detail
+
+
+def save_report_figure(report: MetricsReport, path: str):
+    """Per-class C/R/F1 bar figure (the reference macro's plot artifacts,
+    make_prediction.py figures)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    keys = [k for k in sorted(set(report.completeness))
+            if report.completeness[k].n > 0 or report.reliability[k].n > 0]
+    c = [max(report.completeness[k].ratio, 0.0) for k in keys]
+    r = [max(report.reliability[k].ratio, 0.0) for k in keys]
+    f = [report.f1.get(k) for k in keys]
+    f = [v if v is not None and np.isfinite(v) else 0.0 for v in f]
+    x = np.arange(len(keys))
+    fig, ax = plt.subplots(figsize=(1.8 * max(len(keys), 3), 4))
+    ax.bar(x - 0.25, c, width=0.25, label="completeness")
+    ax.bar(x, r, width=0.25, label="reliability")
+    ax.bar(x + 0.25, f, width=0.25, label="F1")
+    ax.set_xticks(x)
+    ax.set_xticklabels(keys, rotation=20, ha="right")
+    ax.set_ylim(0, 1.05)
+    ax.legend()
+    ax.set_title("Detection quality per class")
+    fig.tight_layout()
+    fig.savefig(path, dpi=120)
+    plt.close(fig)
+
+
 def read_yolo_labels(label_path: str, img_w: int, img_h: int,
                      class_names) -> dict:
     """Parse a YOLO-format label txt (class cx cy w h, normalized) into

@@ -7,11 +7,17 @@ clip-limited, excess-redistributed histogram CDF, and every pixel maps
 through a bilinear blend of the four surrounding tile CDFs.  All shapes
 are static (grid fixed at trace time), so it jits and vmaps.
 
-Semantics follow standard CLAHE (grid default 8x8, nbins=256, relative
-clip limit); exact skimage numerics are not bit-matched (its padding and
-iterative redistribution differ slightly) — the reference never reaches
-this branch from its CLI (SURVEY.md §2.1), it only exposes it via the
-class API.
+Semantics follow the canonical published algorithm (Zuiderveld 1994)
+with skimage's parameterization: kernel size defaults to shape//8
+(grid=8), nbins=256, clip limit relative to the per-tile pixel count,
+and ITERATIVE excess redistribution (redistributed mass that re-exceeds
+the clip is re-clipped until stable — the single-pass shortcut biases
+heavy-tailed histograms).  skimage itself is not installed in this
+environment, so parity is tolerance-tested against an independent numpy
+twin of the same published algorithm (tests/test_ops_transforms.py)
+rather than recorded skimage outputs; the reference only reaches this
+branch through the class API (reference preprocessing.py:1004-1008),
+never from its CLI.
 """
 
 from __future__ import annotations
@@ -48,11 +54,18 @@ def equalize_adapthist(values: jnp.ndarray, clip_limit: float = 0.03,
     hist = jnp.zeros((grid * grid * nbins,), jnp.float32).at[flat_idx].add(
         1.0).reshape(grid * grid, nbins)
 
-    # clip + redistribute excess uniformly (one pass, standard CLAHE)
+    # clip + redistribute excess (iterative until no bin re-exceeds the
+    # limit, as in the published algorithm; fixed trip count — the mass
+    # above the limit shrinks geometrically, 8 sweeps reach float eps)
     npix = th * tw
     limit = jnp.maximum(clip_limit * npix, 1.0)
-    excess = jnp.sum(jnp.maximum(hist - limit, 0.0), axis=1, keepdims=True)
-    hist = jnp.minimum(hist, limit) + excess / nbins
+
+    def sweep(_, hst):
+        excess = jnp.sum(jnp.maximum(hst - limit, 0.0), axis=1,
+                         keepdims=True)
+        return jnp.minimum(hst, limit) + excess / nbins
+
+    hist = jax.lax.fori_loop(0, 8, sweep, hist)
 
     cdf = jnp.cumsum(hist, axis=1)
     cdf = cdf / cdf[:, -1:]

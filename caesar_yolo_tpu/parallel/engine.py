@@ -67,14 +67,23 @@ class TileEngine:
         self.max_det = max_det
         self.pre_nms = pre_nms
         self.compute_dtype = compute_dtype
-        if fuse:
-            params = fuse_model_params(model, params)
-        if mesh is not None:
-            params = jax.device_put(params, replicated_sharding(mesh))
+        self._fuse = fuse
+        self.params = None
+        self.update_params(params)
+        self._compiled = {}
+
+    def update_params(self, params):
+        """Swap in new weights (same treatment as at construction) without
+        recompiling — the compiled programs take params as an argument.
+        Used by training-time validation to evaluate evolving EMA params
+        through one compiled engine."""
+        if self._fuse:
+            params = fuse_model_params(self.model, params)
+        if self.mesh is not None:
+            params = jax.device_put(params, replicated_sharding(self.mesh))
         else:
             params = jax.device_put(params)
         self.params = params
-        self._compiled = {}
 
     def _build(self, shape):
         b, h, w, c = shape

@@ -17,6 +17,7 @@ fallback and the format authority.
 
 from __future__ import annotations
 
+import math
 import os
 from dataclasses import dataclass
 
@@ -385,44 +386,140 @@ def write_fits(data: np.ndarray, filename: str, header: FitsHeader | None = None
 
 @dataclass
 class Wcs:
-    """Minimal linear WCS: pixel <-> world for 2 celestial axes.
+    """Projection-aware celestial WCS: pixel <-> world for 2 axes.
 
-    The reference builds a full astropy WCS (utils.py:233-242) but the
-    detection path only ever carries it around; a linear CRPIX/CRVAL/CDELT
-    transform covers catalog needs.  Pixel coords are 0-based.
+    The reference builds a full astropy WCS (utils.py:233-242); radio
+    continuum mosaics are SIN- or TAN-projected, so those zenithal
+    projections are implemented per the published FITS-WCS convention
+    (Calabretta & Greisen 2002): linear part (CDELT/PC/CD/CROTA2) ->
+    projection-plane coords -> native spherical (phi, theta) ->
+    celestial via the spherical rotation with LONPOLE (default 180 for
+    zenithal projections).  Unrecognized CTYPEs fall back to the linear
+    transform.  Pixel coords are 0-based.
     """
 
     crpix: tuple = (1.0, 1.0)
     crval: tuple = (0.0, 0.0)
-    cdelt: tuple = (1.0, 1.0)
     ctype: tuple = ("", "")
+    # full linear matrix (CDELT x PC, or CD): intermediate = M @ dpix
+    m: tuple = ((1.0, 0.0), (0.0, 1.0))
+    lonpole: float = 180.0
 
     @classmethod
     def from_header(cls, header: FitsHeader | None):
         if header is None:
             return None
         try:
+            cdelt = (float(header.get("CDELT1", 1.0)),
+                     float(header.get("CDELT2", 1.0)))
+            if "CD1_1" in header:
+                m = ((float(header.get("CD1_1", 1.0)),
+                      float(header.get("CD1_2", 0.0))),
+                     (float(header.get("CD2_1", 0.0)),
+                      float(header.get("CD2_2", 1.0))))
+            elif "PC1_1" in header:
+                pc = ((float(header.get("PC1_1", 1.0)),
+                       float(header.get("PC1_2", 0.0))),
+                      (float(header.get("PC2_1", 0.0)),
+                       float(header.get("PC2_2", 1.0))))
+                m = ((cdelt[0] * pc[0][0], cdelt[0] * pc[0][1]),
+                     (cdelt[1] * pc[1][0], cdelt[1] * pc[1][1]))
+            elif "CROTA2" in header:
+                rho = math.radians(float(header["CROTA2"]))
+                m = ((cdelt[0] * math.cos(rho), -cdelt[1] * math.sin(rho)),
+                     (cdelt[0] * math.sin(rho), cdelt[1] * math.cos(rho)))
+            else:
+                m = ((cdelt[0], 0.0), (0.0, cdelt[1]))
             return cls(
                 crpix=(float(header.get("CRPIX1", 1.0)),
                        float(header.get("CRPIX2", 1.0))),
                 crval=(float(header.get("CRVAL1", 0.0)),
                        float(header.get("CRVAL2", 0.0))),
-                cdelt=(float(header.get("CDELT1", 1.0)),
-                       float(header.get("CDELT2", 1.0))),
                 ctype=(str(header.get("CTYPE1", "")),
                        str(header.get("CTYPE2", ""))),
+                m=m,
+                lonpole=float(header.get("LONPOLE", 180.0)),
             )
         except Exception as e:
             logger.warning("Failed to get wcs from header (err=%s)!", str(e))
             return None
 
+    @property
+    def projection(self) -> str:
+        """'SIN' / 'TAN' for supported zenithal projections, else ''."""
+        t = self.ctype[0].upper()
+        for proj in ("SIN", "TAN"):
+            if t.endswith("-" + proj):
+                return proj
+        return ""
+
+    # -- linear part ---------------------------------------------------------
+
+    def _pixel_to_plane(self, x, y):
+        dx = np.asarray(x, np.float64) + 1 - self.crpix[0]
+        dy = np.asarray(y, np.float64) + 1 - self.crpix[1]
+        (m11, m12), (m21, m22) = self.m
+        return m11 * dx + m12 * dy, m21 * dx + m22 * dy
+
+    def _plane_to_pixel(self, ix, iy):
+        (m11, m12), (m21, m22) = self.m
+        det = m11 * m22 - m12 * m21
+        dx = (m22 * ix - m12 * iy) / det
+        dy = (-m21 * ix + m11 * iy) / det
+        return dx + self.crpix[0] - 1, dy + self.crpix[1] - 1
+
+    # -- full transform ------------------------------------------------------
+
     def pixel_to_world(self, x, y):
-        return (self.crval[0] + (np.asarray(x) + 1 - self.crpix[0]) * self.cdelt[0],
-                self.crval[1] + (np.asarray(y) + 1 - self.crpix[1]) * self.cdelt[1])
+        ix, iy = self._pixel_to_plane(x, y)
+        proj = self.projection
+        if not proj:
+            return self.crval[0] + ix, self.crval[1] + iy
+        # projection plane -> native spherical (zenithal: phi from -y axis)
+        phi = np.arctan2(ix, -iy)
+        r = np.hypot(ix, iy)  # degrees
+        if proj == "TAN":
+            theta = np.arctan2(180.0 / np.pi, r)
+        else:  # SIN (orthographic)
+            theta = np.arccos(np.clip(r * np.pi / 180.0, 0.0, 1.0))
+        # native -> celestial (C&G 2002 eq. 2 inverse, pole at crval)
+        a0 = math.radians(self.crval[0])
+        d0 = math.radians(self.crval[1])
+        dphi = phi - math.radians(self.lonpole)
+        sin_t, cos_t = np.sin(theta), np.cos(theta)
+        dec = np.arcsin(np.clip(
+            sin_t * math.sin(d0) + cos_t * math.cos(d0) * np.cos(dphi),
+            -1.0, 1.0))
+        ra = a0 + np.arctan2(
+            -cos_t * np.sin(dphi),
+            sin_t * math.cos(d0) - cos_t * math.sin(d0) * np.cos(dphi))
+        return np.degrees(ra) % 360.0, np.degrees(dec)
 
     def world_to_pixel(self, ra, dec):
-        return ((np.asarray(ra) - self.crval[0]) / self.cdelt[0] + self.crpix[0] - 1,
-                (np.asarray(dec) - self.crval[1]) / self.cdelt[1] + self.crpix[1] - 1)
+        proj = self.projection
+        if not proj:
+            return self._plane_to_pixel(
+                np.asarray(ra, np.float64) - self.crval[0],
+                np.asarray(dec, np.float64) - self.crval[1])
+        a = np.radians(np.asarray(ra, np.float64))
+        d = np.radians(np.asarray(dec, np.float64))
+        a0 = math.radians(self.crval[0])
+        d0 = math.radians(self.crval[1])
+        da = a - a0
+        theta = np.arcsin(np.clip(
+            np.sin(d) * math.sin(d0) + np.cos(d) * math.cos(d0) * np.cos(da),
+            -1.0, 1.0))
+        phi = math.radians(self.lonpole) + np.arctan2(
+            -np.cos(d) * np.sin(da),
+            np.sin(d) * math.cos(d0) - np.cos(d) * math.sin(d0) * np.cos(da))
+        if proj == "TAN":
+            r = (180.0 / np.pi) * np.cos(theta) / np.maximum(
+                np.sin(theta), 1e-15)
+        else:  # SIN
+            r = (180.0 / np.pi) * np.cos(theta)
+        ix = r * np.sin(phi)
+        iy = -r * np.cos(phi)
+        return self._plane_to_pixel(ix, iy)
 
 
 def beam_area_from_header(header: FitsHeader):

@@ -292,3 +292,20 @@ def test_cli_datalist_batched(tmp_path, monkeypatch):
         cat = _json.loads((tmp_path / f"out_cut{i}.json").read_text())
         assert cat["image_id"] == f"cut{i}"
         assert (tmp_path / f"out_cut{i}.reg").exists()
+
+
+def test_train_cli_with_validation(tmp_path, monkeypatch):
+    """Training with a val split: per-epoch val F1 logged, 'best'
+    checkpoint gated on it (reference gets this from ultralytics,
+    macros/run_train.py:20-45)."""
+    _make_dataset(tmp_path, n=4, size=48)
+    monkeypatch.chdir(tmp_path)
+    from caesar_yolo_tpu.cli.train import main
+    rc = main([f"--data={tmp_path / 'images'}", "--model=yolov8n",
+               "--epochs=2", "--batch=2", "--imgsz=64", "--max_gt=8",
+               "--checkpoint_dir=ckpt", "--no_augment",
+               f"--val_data={tmp_path / 'images'}", "--val_every=1",
+               "--val_score_thr=0.5"])
+    assert rc == 0
+    assert (tmp_path / "ckpt" / "best").exists()
+    assert (tmp_path / "ckpt" / "last").exists()

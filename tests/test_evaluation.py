@@ -143,3 +143,26 @@ def test_batched_detector_matches_predictor(tmp_path):
         np.testing.assert_allclose(boxes, rb, rtol=1e-4, atol=1e-4)
         np.testing.assert_allclose(scores, rs, rtol=1e-5, atol=1e-6)
         np.testing.assert_array_equal(cls, rc)
+
+
+def test_match_detail_and_figure(tmp_path):
+    """Per-image match detail + metrics figure artifacts (the reference
+    macro's per-image outputs, make_prediction.py:328-547)."""
+    from caesar_yolo_tpu.evaluation.metrics import (
+        compute_metrics,
+        per_image_match_detail,
+        save_report_figure,
+    )
+    gt, pred = _img([[0, 0, 10, 10], [50, 50, 60, 60]],
+                    ["compact", "extended"],
+                    [[1, 0, 10, 10]], ["compact"], scores=[0.8])
+    detail = per_image_match_detail(["imgA"], [gt], [pred])
+    d = detail[0]
+    assert d["image"] == "imgA" and d["n_gt"] == 2 and d["n_pred"] == 1
+    assert d["gt"][0]["detected"] and d["gt"][0]["pred_label"] == "compact"
+    assert not d["gt"][1]["detected"]
+    assert d["pred"][0]["matched"] and d["pred"][0]["gt_index"] == 0
+    assert d["pred"][0]["score"] == 0.8
+    fig = tmp_path / "metrics.png"
+    save_report_figure(compute_metrics([gt], [pred], 0.6), str(fig))
+    assert fig.stat().st_size > 1000

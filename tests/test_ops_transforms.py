@@ -307,7 +307,7 @@ def test_clahe_basic(rng):
     assert out.min() >= 0.0 and out.max() <= 1.0
     # local contrast in a background corner is stretched vs the raw data
     corner = out[:32, :32]
-    assert corner.std() > 0.05
+    assert corner.std() > 0.04  # raw corner std is 0.02
 
 
 def test_hist_equalizer_adaptive_path(rng):
@@ -318,3 +318,72 @@ def test_hist_equalizer_adaptive_path(rng):
     assert bool(valid)
     assert np.all(out[2:6, 3:9, 0] == 0)  # masked pixels restored
     assert 0.0 <= out.min() and out.max() <= 1.0
+
+
+def np_clahe_twin(img, clip_limit=0.03, nbins=256, grid=8):
+    """Independent numpy CLAHE (published Zuiderveld algorithm, written
+    with per-tile loops — deliberately different code structure from the
+    vectorized JAX kernel it oracles)."""
+    img = np.asarray(img, np.float64)
+    h, w = img.shape
+    vmin, vmax = img.min(), img.max()
+    norm = (img - vmin) / (vmax - vmin if vmax > vmin else 1.0)
+    bins = np.clip((norm * nbins).astype(np.int64), 0, nbins - 1)
+    th, tw = -(-h // grid), -(-w // grid)
+    bins_p = np.pad(bins, ((0, th * grid - h), (0, tw * grid - w)),
+                    mode="reflect")
+    limit = max(clip_limit * th * tw, 1.0)
+    cdfs = np.zeros((grid, grid, nbins))
+    for ty in range(grid):
+        for tx in range(grid):
+            tile = bins_p[ty * th:(ty + 1) * th, tx * tw:(tx + 1) * tw]
+            hist = np.bincount(tile.reshape(-1), minlength=nbins).astype(
+                np.float64)
+            for _ in range(100):  # iterate redistribution to fixpoint
+                excess = np.maximum(hist - limit, 0.0).sum()
+                if excess < 1e-9:
+                    break
+                hist = np.minimum(hist, limit) + excess / nbins
+            cdf = np.cumsum(hist)
+            cdfs[ty, tx] = cdf / cdf[-1]
+    out = np.zeros((h, w))
+    for i in range(h):
+        yy = (i + 0.5) / th - 0.5
+        y0 = int(np.clip(np.floor(yy), 0, grid - 1))
+        y1 = min(y0 + 1, grid - 1)
+        fy = np.clip(yy - y0, 0.0, 1.0)
+        for j in range(w):
+            xx = (j + 0.5) / tw - 0.5
+            x0 = int(np.clip(np.floor(xx), 0, grid - 1))
+            x1 = min(x0 + 1, grid - 1)
+            fx = np.clip(xx - x0, 0.0, 1.0)
+            b = bins[i, j]
+            top = cdfs[y0, x0, b] * (1 - fx) + cdfs[y0, x1, b] * fx
+            bot = cdfs[y1, x0, b] * (1 - fx) + cdfs[y1, x1, b] * fx
+            out[i, j] = top * (1 - fy) + bot * fy
+    return out
+
+
+def test_clahe_matches_numpy_twin(rng):
+    """JAX CLAHE == the independent numpy twin of the published
+    algorithm (iterative clip redistribution, kernel grid, bilinear
+    tile blending), on a heavy-tailed field where single-pass
+    redistribution would visibly diverge."""
+    from caesar_yolo_tpu.ops.clahe import equalize_adapthist
+    x = rng.normal(0, 1, (100, 90)).astype(np.float32)
+    x[20:30, 40:50] += 50.0  # heavy tail -> clipped bins
+    out = np.asarray(equalize_adapthist(x, clip_limit=0.02))
+    ref = np_clahe_twin(x, clip_limit=0.02)
+    np.testing.assert_allclose(out, ref, atol=2e-5)
+
+
+def test_clahe_clip_limits_contrast(rng):
+    """Lower clip limit -> flatter mapping (contrast limiting works)."""
+    from caesar_yolo_tpu.ops.clahe import equalize_adapthist
+    x = rng.normal(0, 1, (64, 64)).astype(np.float32)
+    hi = np.asarray(equalize_adapthist(x, clip_limit=1.0))
+    lo = np.asarray(equalize_adapthist(x, clip_limit=0.005))
+    # the low-clip output must be closer to the identity (normalized
+    # input) mapping than the unclipped equalization
+    norm = (x - x.min()) / (x.max() - x.min())
+    assert np.abs(lo - norm).mean() < np.abs(hi - norm).mean()
