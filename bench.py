@@ -10,9 +10,15 @@ Measurement notes:
     network relay at ~44 MB/s (an environment artifact); production hosts
     feed tiles over PCIe/DMA overlapped with compute.
   - Iterations are serialized by threading a zero-scaled dependency on the
-    previous step's outputs back into the next input, with a final host
-    readback — the experimental backend's block_until_ready is unreliable
-    for timing async dispatches.
+    previous step's outputs back into the next input — the experimental
+    backend's block_until_ready is unreliable for timing async dispatches.
+  - The WHOLE iteration chain runs inside one compiled program
+    (lax.fori_loop), so the relay's per-dispatch floor (~6.5 ms round
+    trip for even an x+0 program) is paid once, not per step.
+  - Batch size matters enormously on this backend: B=128 is the sweet
+    spot; B=64 compiles to a program SLOWER in absolute time than B=128
+    (30.8 vs 18.7 ms for yolov8n fwd+decode), B=192/256 similarly
+    pathological.  All models bench at B=128.
 
 Baseline: the reference publishes no throughput numbers (SURVEY.md §6);
 vs_baseline is computed against the driver's north-star target of
@@ -82,7 +88,13 @@ def bench_eval():
     shape-bucketed BatchedDetector (one compile, prefetch, batched NMS).
     Reports images/sec; vs_baseline against the 500 tiles/s north-star
     scaled by (132/640)^2 pixel area is meaningless, so it uses the
-    image rate directly against 500 imgs/s."""
+    image rate directly against 500 imgs/s.
+
+    NOTE: unlike the device-resident tile bench, this mode measures true
+    host->device e2e, and in THIS environment the ~44 MB/s relay bounds
+    it (each batch ships ~9 MB of cutouts through the tunnel, ~200 ms,
+    vs ~19 ms of compute).  On production hosts (PCIe) the same path is
+    compute-bound."""
     import jax
     import jax.numpy as jnp
     from caesar_yolo_tpu.detect.batch import BatchedDetector
@@ -91,7 +103,7 @@ def bench_eval():
 
     model_name = os.environ.get("BENCH_MODEL", "yolov8n")
     n_imgs = int(os.environ.get("BENCH_NIMGS", "1000"))
-    batch = int(os.environ.get("BENCH_BATCH", "64"))
+    batch = int(os.environ.get("BENCH_BATCH", "128"))
     size = int(os.environ.get("BENCH_CUTOUT", "132"))
 
     model = build_model(model_name, num_classes=5)
@@ -141,31 +153,34 @@ def main():
     params = jax.device_put(fuse_model_params(model, init_params(model, 0)))
     preproc = build_preprocessor(zscale_stretch=True, normalize_minmax=True)
 
+    from jax import lax
+
     @jax.jit
-    def step(params, tiles):
-        imgs, ok = jax.vmap(preproc.apply)(tiles)
-        imgs = jnp.repeat(imgs, 3, axis=-1)
-        x = letterbox_batch(imgs, img_size).astype(jnp.bfloat16)
-        raw = model(params, x)
-        boxes, scores = decode_dfl(raw, img_size)
-        b, s, c, v, _ = nms_batch(boxes, scores, conf_thr=0.7, iou_thr=0.5)
-        b = unletterbox_boxes(b, img_size, img_size, img_size)
-        # zero-scaled dependency serializes chained iterations
-        dep = (jnp.sum(b) + jnp.sum(s)) * 0.0
-        return tiles + dep.astype(tiles.dtype)
+    def loop(params, tiles):
+        def body(_, x):
+            imgs, ok = jax.vmap(preproc.apply)(x)
+            imgs = jnp.repeat(imgs, 3, axis=-1)
+            xx = letterbox_batch(imgs, img_size).astype(jnp.bfloat16)
+            raw = model(params, xx)
+            boxes, scores = decode_dfl(raw, img_size)
+            b, s, c, v, _ = nms_batch(boxes, scores, conf_thr=0.7,
+                                      iou_thr=0.5)
+            b = unletterbox_boxes(b, img_size, img_size, img_size)
+            # zero-scaled dependency serializes chained iterations
+            dep = (jnp.sum(b) + jnp.sum(s)) * 0.0
+            return x + dep.astype(x.dtype)
+        return lax.fori_loop(0, iters, body, tiles)
 
     rng = np.random.default_rng(0)
     tiles = jax.device_put(jnp.asarray(
         rng.random((batch, img_size, img_size, 1), dtype=np.float32)))
 
-    out = step(params, tiles)                      # compile
+    out = loop(params, tiles)                      # compile
     _ = np.asarray(out[0, 0, 0, 0])                # sync
 
     t0 = time.perf_counter()
-    x = tiles
-    for _ in range(iters):
-        x = step(params, x)
-    _ = np.asarray(x[0, 0, 0, 0])                  # force completion
+    out = loop(params, tiles)
+    _ = np.asarray(out[0, 0, 0, 0])                # force completion
     dt = time.perf_counter() - t0
 
     tiles_per_sec = batch * iters / dt

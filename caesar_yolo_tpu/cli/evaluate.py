@@ -29,7 +29,7 @@ def parse_args(argv=None):
     p.add_argument("--merge_overlap_iou_thr_soft", type=float, default=0.3)
     p.add_argument("--merge_overlap_iou_thr_hard", type=float, default=0.8)
     p.add_argument("--maxnimgs", type=int, default=-1)
-    p.add_argument("--pre_nms", type=int, default=1024)
+    p.add_argument("--pre_nms", type=int, default=512)
     p.add_argument("--batch_size", type=int, default=32,
                    help="images per compiled device batch")
     p.add_argument("--save_detail", default="",

@@ -69,7 +69,7 @@ def parse_args(argv=None):
     # DETECT
     parser.add_argument("--scoreThr", type=float, default=0.7)
     parser.add_argument("--iouThr", type=float, default=0.5)
-    parser.add_argument("--pre_nms", type=int, default=1024,
+    parser.add_argument("--pre_nms", type=int, default=512,
                         help="Pre-NMS candidate window (above-threshold "
                         "candidates beyond it are dropped WITH a log; "
                         "raise for crowded fields)")
@@ -89,7 +89,9 @@ def parse_args(argv=None):
     parser.add_argument("--tile_xstep", type=float, default=1.0)
     parser.add_argument("--tile_ystep", type=float, default=1.0)
     parser.add_argument("--max_ntasks_per_worker", type=int, default=100)
-    parser.add_argument("--batch_size", type=int, default=8)
+    parser.add_argument("--batch_size", type=int, default=128,
+                        help="tiles per compiled device batch (128 is the "
+                        "v5e sweet spot; small mosaics pad up to it)")
 
     # RUN
     parser.add_argument("--devices", type=str, default="",

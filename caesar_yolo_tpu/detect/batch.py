@@ -36,7 +36,7 @@ class BatchedDetector:
 
     def __init__(self, model, params, *, preprocessor=None, mesh=None,
                  img_size: int = 640, score_thr: float = 0.7,
-                 iou_thr: float = 0.5, pre_nms: int = 1024,
+                 iou_thr: float = 0.5, pre_nms: int = 512,
                  batch_size: int = 32, engine: TileEngine | None = None,
                  **engine_kwargs):
         self.engine = engine or TileEngine(

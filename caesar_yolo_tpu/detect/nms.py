@@ -44,7 +44,11 @@ from jax import lax
 from caesar_yolo_tpu.utils.boxes import iou_matrix
 
 MAX_WH = 7680.0  # class offset multiplier (larger than any letterbox size)
-DEFAULT_PRE_NMS = 1024
+# 512 = 2x the typical crowded-field candidate count at reference
+# thresholds; the [K, K] suppression cost is quadratic (1024 costs
+# ~3ms/batch-128 extra on v5e), overflow is counted+logged, and
+# callers can raise it (--pre_nms) for extreme fields.
+DEFAULT_PRE_NMS = 512
 
 
 @partial(jax.jit, static_argnames=("conf_thr", "iou_thr", "max_det",

@@ -57,7 +57,7 @@ def label_path_for(img_path: str, label_dir: str | None) -> str:
 def evaluate_dataset(model, params, filelist, *,
                      label_dir: str | None = None, preprocessor=None,
                      img_size: int = 640, score_thr: float = 0.25,
-                     nms_iou_thr: float = 0.5, pre_nms: int = 1024,
+                     nms_iou_thr: float = 0.5, pre_nms: int = 512,
                      batch_size: int = 32, mesh=None,
                      soft_merge_thr: float = 0.3, hard_merge_thr: float = 0.8,
                      iou_thr: float = 0.6, max_images: int = -1,

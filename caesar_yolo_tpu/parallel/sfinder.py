@@ -76,7 +76,7 @@ class SFinderConfig:
     # static pre-NMS candidate window (ultralytics considers 30000; a
     # fixed-shape TPU program picks a top-k window and REPORTS overflow
     # instead of silently truncating — see detect/nms.py)
-    pre_nms: int = 1024
+    pre_nms: int = 512
     merge_overlap_iou_thr_soft: float = 0.3
     merge_overlap_iou_thr_hard: float = 0.8
     split_image_in_tiles: bool = False
