@@ -7,6 +7,7 @@ from caesar_yolo_tpu.detect.letterbox import (
     unletterbox_boxes,
 )
 from caesar_yolo_tpu.detect.analyzer import Analyzer, AnalyzerOutputs, Detections
+from caesar_yolo_tpu.detect.batch import BatchedDetector
 from caesar_yolo_tpu.detect.merge import merge_detections
 from caesar_yolo_tpu.detect.nms import nms_batch, nms_single
 from caesar_yolo_tpu.detect.predictor import Predictor

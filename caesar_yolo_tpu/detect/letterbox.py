@@ -10,6 +10,14 @@ round(d +- 0.1) pad split.
 All geometry is computed from STATIC shapes at trace time, so the padded
 output has a fixed [S, S, C] shape and the whole thing fuses into the
 surrounding jit program.
+
+Known divergence from ultralytics, documented for parity work: for .pt
+models on NON-square inputs ultralytics letterboxes to the minimum
+stride-32 rectangle (auto=True), not to the full SxS square.  The
+network is fully convolutional, so boxes only shift near the extra pad
+border.  A fixed-shape TPU program pads to the square (one compiled
+program per input shape); radio cutouts and mosaic tiles are square, so
+the golden parity harness exercises exactly that case.
 """
 
 from __future__ import annotations

@@ -51,21 +51,26 @@ class Predictor:
         self.compute_dtype = compute_dtype
         self.input_scale = input_scale
         self.channel_flip = channel_flip
-        if fuse:
-            layer_map = {spec.name: spec.module for spec in model.layers}
-
-            def fuse_params(p):
-                out = {}
-                for name, sub in p.items():
-                    if name == "head":
-                        out[name] = _fuse_head(model.head, sub)
-                    else:
-                        out[name] = fuse_tree(layer_map[name], sub)
-                return out
-
-            params = fuse_params(params)
-        self.params = jax.device_put(params)
+        self._fuse = fuse
+        self.params = None
+        self.update_params(params)
         self._compiled = {}
+
+    def update_params(self, params):
+        """Swap in new weights (same fusing treatment as at construction)
+        without recompiling — the compiled programs take params as an
+        argument (used by training-time validation on evolving EMA
+        weights)."""
+        if self._fuse:
+            layer_map = {spec.name: spec.module for spec in self.model.layers}
+            out = {}
+            for name, sub in params.items():
+                if name == "head":
+                    out[name] = _fuse_head(self.model.head, sub)
+                else:
+                    out[name] = fuse_tree(layer_map[name], sub)
+            params = out
+        self.params = jax.device_put(params)
 
     # -- jit program per input shape -----------------------------------------
 

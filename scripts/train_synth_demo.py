@@ -84,9 +84,50 @@ def main():
                       lr0=0.01, lrf=0.05, warmup_epochs=0.05, max_gt=3)
     trainer = Trainer(model, params, cfg, steps_per_epoch=steps)
     make = make_tile_fn(size)
+    names = ["spurious", "compact", "extended", "extended-multisland",
+             "flagged"]
+
+    val_pred = None
+
+    def run_val(tag, n_imgs=32, score_thr=0.25):
+        """Training-time validation: precise-BN calibrate, detect on a
+        held-out synthetic batch with EMA params, report C/R/F1 (the
+        per-epoch val metrics the reference gets from ultralytics)."""
+        nonlocal val_pred
+        ckey = jax.random.PRNGKey(4242)
+        cal = []
+        for _ in range(8):
+            ckey, sub = jax.random.split(ckey)
+            cal.append(make(sub, batch)[0])
+        trainer.calibrate_bn(cal)
+        ema = jax.device_get(trainer.state.ema_params)
+        if val_pred is None:
+            val_pred = Predictor(model, ema, img_size=size,
+                                 score_thr=score_thr, iou_thr=0.5,
+                                 compute_dtype=jnp.float32)
+        else:
+            val_pred.update_params(ema)
+        pred = val_pred
+        vimgs, vlabels, vboxes, vmask = (
+            np.asarray(v) for v in make(jax.random.PRNGKey(777), n_imgs))
+        gl, pl_ = [], []
+        for i in range(n_imgs):
+            gl.append({"bboxes": vboxes[i][vmask[i]],
+                       "labels": ["compact"] * int(vmask[i].sum())})
+            b, s, c = pred.predict_image(vimgs[i])
+            b, s, c = merge_detections(b, s, c)
+            pl_.append({"bboxes": b,
+                        "labels": [names[int(k)] for k in c], "scores": s})
+        rep = compute_metrics(gl, pl_, iou_thr=0.5)
+        cc = rep.completeness["compact"].ratio
+        rr = rep.reliability["compact"].ratio
+        f1 = rep.f1.get("compact", float("nan"))
+        print(f"{tag} val: C={cc:.3f} R={rr:.3f} F1={f1:.3f}", flush=True)
+        return rep
 
     key = jax.random.PRNGKey(0)
     t0 = time.time()
+    val_every = max(steps // 4, 1)
     for step in range(steps):
         key, sub = jax.random.split(key)
         imgs, labels, boxes, mask = make(sub, batch)
@@ -96,6 +137,8 @@ def main():
                   f"box={float(parts['box']):.3f} "
                   f"cls={float(parts['cls']):.3f} "
                   f"dfl={float(parts['dfl']):.3f}", flush=True)
+        if (step + 1) % val_every == 0 and step + 1 < steps:
+            run_val(f"epoch {(step + 1) // val_every}")
     print(f"trained {steps} steps in {time.time() - t0:.1f}s")
 
     # precise-BN calibration, then evaluate with EMA weights

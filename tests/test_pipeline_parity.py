@@ -59,10 +59,14 @@ def test_full_yolov11_graph_parity():
         np.testing.assert_allclose(j2t(jc), tc.numpy(), rtol=5e-3, atol=5e-4)
 
 
-@pytest.mark.parametrize("name", ["yolov8l", "yolov8x", "yolo11l", "yolo11x"])
+@pytest.mark.parametrize("name", ["yolov8s", "yolov8m", "yolov8l",
+                                  "yolov8x", "yolo11s", "yolo11m",
+                                  "yolo11l", "yolo11x"])
 def test_converter_scale_roundtrip(name):
-    """The l/x width multipliers (max_channels tables) survive the
-    converter: every checkpoint key consumed, raw-head forward parity."""
+    """Every non-n width/depth scale (s/m/l/x incl. the max_channels
+    tables and v11's scale-dependent c3k flags) survives the converter:
+    every checkpoint key consumed, raw-head forward parity (n is covered
+    by the full golden pipeline tests)."""
     tm = U.build_torch_twin(name, seed=3)
     jm, params = convert_twin(tm, name)
     x = rand_t(1, 3, 64, 64, seed=5)
