@@ -38,7 +38,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 def bench_mosaic():
     """System-level mode (BENCH_MODE=mosaic): tiled SFinder on a synthetic
     mosaic — windowed native reads, batched sharded inference, edge
-    stitching, catalog write — megapixels/sec end to end."""
+    stitching, catalog write — megapixels/sec end to end.
+
+    NOTE: in THIS environment the number is bound by the ~44 MB/s
+    host->device relay (a 4k mosaic ships ~80 MB of tiles through the
+    tunnel); on production hosts (PCIe) the same path is compute-bound
+    at the tile-bench rate."""
     import tempfile
 
     import jax.numpy as jnp

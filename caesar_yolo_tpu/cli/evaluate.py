@@ -47,7 +47,11 @@ def parse_args(argv=None):
 
 def main(argv=None) -> int:
     args = parse_args(argv)
-    from caesar_yolo_tpu.cli.run import load_model_and_params
+    from caesar_yolo_tpu.cli.run import (
+        enable_compilation_cache,
+        load_model_and_params,
+    )
+    enable_compilation_cache()
     from caesar_yolo_tpu.evaluation import evaluate_dataset
     from caesar_yolo_tpu.ops import build_preprocessor
 

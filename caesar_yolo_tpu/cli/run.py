@@ -253,6 +253,25 @@ def run_datalist_batched(model, params, cfg, images, preproc) -> int:
     return status
 
 
+def enable_compilation_cache():
+    """Persistent XLA compilation cache: repeat CLI invocations (the
+    reference's workflow is many short runs) skip recompiling the
+    detection programs.  Opt out with CAESAR_YOLO_NO_COMPILE_CACHE=1."""
+    if os.environ.get("CAESAR_YOLO_NO_COMPILE_CACHE"):
+        return
+    import jax
+    cache = os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.expanduser("~"), ".cache",
+                     "caesar_yolo_tpu", "xla"))
+    try:
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception as e:  # cache is best-effort
+        logger.warning("compilation cache disabled (%s)", e)
+
+
 def main(argv=None) -> int:
     args = parse_args(argv)
     if validate_args(args) < 0:
@@ -265,6 +284,7 @@ def main(argv=None) -> int:
         except RuntimeError:
             logger.warning("jax backends already initialized; --devices "
                            "ignored")
+    enable_compilation_cache()
 
     from caesar_yolo_tpu.parallel import SFinder, SFinderConfig, make_mesh
 

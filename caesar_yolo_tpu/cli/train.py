@@ -80,6 +80,8 @@ def main(argv=None) -> int:
 
     import jax
     import numpy as np
+    from caesar_yolo_tpu.cli.run import enable_compilation_cache
+    enable_compilation_cache()
     from caesar_yolo_tpu.models.convert import load_params
     from caesar_yolo_tpu.models.yolo import build_model, init_params
     from caesar_yolo_tpu.parallel.mesh import make_mesh

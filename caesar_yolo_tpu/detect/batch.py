@@ -20,7 +20,6 @@ from concurrent.futures import ThreadPoolExecutor
 import numpy as np
 
 from caesar_yolo_tpu import logger
-from caesar_yolo_tpu.parallel.engine import TileEngine
 
 
 class BatchedDetector:
@@ -37,8 +36,10 @@ class BatchedDetector:
     def __init__(self, model, params, *, preprocessor=None, mesh=None,
                  img_size: int = 640, score_thr: float = 0.7,
                  iou_thr: float = 0.5, pre_nms: int = 512,
-                 batch_size: int = 32, engine: TileEngine | None = None,
-                 **engine_kwargs):
+                 batch_size: int = 32, engine=None, **engine_kwargs):
+        # imported here: engine lives in parallel/, which itself imports
+        # detect/* — a top-level import would be circular
+        from caesar_yolo_tpu.parallel.engine import TileEngine
         self.engine = engine or TileEngine(
             model, params, preprocessor=preprocessor, mesh=mesh,
             img_size=img_size, score_thr=score_thr, iou_thr=iou_thr,

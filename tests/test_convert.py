@@ -152,3 +152,67 @@ def test_load_torch_plain_state_dict(tmp_path):
     out = load_torch_state_dict(p)
     assert out["model.0.conv.weight"].shape == (16, 3, 3, 3)
     assert out["model.0.conv.weight"].dtype == np.float32
+
+
+class _FakeDetectionModel:
+    """Defined lazily in test_ghost_unpickler (needs torch)."""
+
+
+def test_ghost_unpickler_loads_unknown_classes(tmp_path):
+    """Published .pt checkpoints pickle ultralytics CLASS REFERENCES;
+    the converter must load them without ultralytics installed.  Save a
+    checkpoint whose class lives in a module that disappears before
+    load: the ghost unpickler must fabricate it and still walk
+    state_dict()."""
+    import sys
+    import types
+
+    import torch
+
+    class FakeDetectionModel(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.model = torch.nn.Sequential(
+                torch.nn.Conv2d(3, 8, 1), torch.nn.BatchNorm2d(8))
+
+    FakeDetectionModel.__module__ = "fake_ultralytics.nn.tasks"
+    FakeDetectionModel.__qualname__ = "FakeDetectionModel"
+    chain = ("fake_ultralytics", "fake_ultralytics.nn",
+             "fake_ultralytics.nn.tasks")
+    parent = None
+    for name in chain:
+        mod = types.ModuleType(name)
+        sys.modules[name] = mod
+        if parent is not None:
+            setattr(parent, name.rsplit(".", 1)[1], mod)
+        parent = mod
+    parent.FakeDetectionModel = FakeDetectionModel
+    try:
+        m = FakeDetectionModel().eval()
+        with torch.no_grad():
+            m.model[0].weight.fill_(0.5)
+        p = str(tmp_path / "ghost.pt")
+        torch.save({"model": m, "epoch": 7}, p)
+    finally:
+        for name in chain:
+            del sys.modules[name]
+
+    out = load_torch_state_dict(p)
+    assert "model.0.weight" in out and "model.1.running_mean" in out
+    np.testing.assert_allclose(out["model.0.weight"], 0.5)
+
+
+def test_ghost_unpickler_prefers_ema(tmp_path):
+    """ultralytics checkpoints carry both 'model' and 'ema'; the
+    converter must take the EMA weights (the published convention)."""
+    import torch
+
+    ma = torch.nn.Sequential(torch.nn.Conv2d(1, 2, 1))
+    mb = torch.nn.Sequential(torch.nn.Conv2d(1, 2, 1))
+    with torch.no_grad():
+        ma[0].weight.fill_(1.0)
+        mb[0].weight.fill_(2.0)
+    p = str(tmp_path / "ema.pt")
+    torch.save({"model": ma, "ema": mb}, p)
+    out = load_torch_state_dict(p)
+    np.testing.assert_allclose(out["0.weight"], 2.0)
