@@ -119,7 +119,8 @@ def bench_eval():
             for i in range(n_imgs)}
     det = BatchedDetector(model, params, preprocessor=preproc,
                           img_size=640, score_thr=0.25, batch_size=batch)
-    det.detect_many(list(range(batch)), lambda k: imgs[k])  # compile
+    det.detect_many(list(range(min(batch, n_imgs))),
+                    lambda k: imgs[k])  # compile
     t0 = time.perf_counter()
     out = det.detect_many(list(imgs), lambda k: imgs[k])
     dt = time.perf_counter() - t0

@@ -194,6 +194,26 @@ def run_datalist_tiled(model, params, cfg, images, preproc, mesh) -> int:
     return status
 
 
+def run_datalist_serial(model, params, cfg, images, preproc) -> int:
+    """Per-image Analyzer datalist path (plots, crops, outfile overrides)
+    sharing ONE compiled Predictor across images."""
+    from dataclasses import replace
+
+    from caesar_yolo_tpu.parallel import SFinder
+
+    status = 0
+    predictor = None
+    for path in images:
+        sf = SFinder(model, params, replace(cfg, image_path=path),
+                     preprocessor=preproc, predictor=predictor)
+        rc = sf.run()
+        predictor = sf._predictor
+        if rc != 0:
+            logger.error("Detection failed on %s, continuing", path)
+            status = 1
+    return status
+
+
 def run_datalist_batched(model, params, cfg, images, preproc) -> int:
     """Whole-image detection over a datalist, batched by shape through
     one compiled program per shape (the reference dispatches the model
@@ -321,6 +341,15 @@ def main(argv=None) -> int:
         if args.split_img_in_tiles:
             return run_datalist_tiled(model, params, cfg, images,
                                       preproc, mesh)
+        # plots / crop windows / explicit outfile overrides need the full
+        # per-image Analyzer path; plain catalog runs take the batched
+        # compile-once path
+        needs_analyzer = (args.draw_plots or args.save_plots
+                          or args.detect_outfile or args.detect_outfile_json
+                          or (args.xmin >= 0 and args.xmax > 0
+                              and args.ymin >= 0 and args.ymax > 0))
+        if needs_analyzer:
+            return run_datalist_serial(model, params, cfg, images, preproc)
         return run_datalist_batched(model, params, cfg, images, preproc)
 
     sf = SFinder(model, params, cfg, preprocessor=preproc, mesh=mesh)

@@ -140,13 +140,14 @@ def main(argv=None) -> int:
                     len(val_paths), max(args.val_every, 1))
     best_f1 = -1.0
 
-    def run_validation(epoch):
+    def run_validation(epoch, calibrate=True):
         nonlocal best_f1
         import itertools
 
         from caesar_yolo_tpu.evaluation import evaluate_dataset
-        trainer.calibrate_bn(
-            imgs for imgs, *_ in itertools.islice(iter(dataset), 8))
+        if calibrate:
+            trainer.calibrate_bn(
+                imgs for imgs, *_ in itertools.islice(iter(dataset), 8))
         val_detector.engine.update_params(
             jax.device_get(trainer.state.ema_params))
         report = evaluate_dataset(
@@ -172,13 +173,16 @@ def main(argv=None) -> int:
         if args.checkpoint_dir and (epoch + 1) % args.checkpoint_every == 0:
             trainer.save_checkpoint(args.checkpoint_dir, step=epoch + 1)
         if (val_detector is not None and args.val_every
-                and (epoch + 1) % args.val_every == 0):
+                and (epoch + 1) % args.val_every == 0
+                and epoch + 1 < args.epochs):
             run_validation(epoch + 1)
-    # precise-BN: re-estimate running stats before the final checkpoint
+    # precise-BN over a FULL augmented epoch, then the final validation
+    # REUSES those stats (calibrate=False — an 8-batch recalibration here
+    # would clobber the precise pass right before the 'last' checkpoint)
     trainer.calibrate_bn(
         imgs for imgs, *_ in augmented(args.epochs))
     if val_detector is not None:
-        run_validation(args.epochs)
+        run_validation(args.epochs, calibrate=False)
     trainer.save_checkpoint(args.checkpoint_dir, step=args.epochs,
                             name="last")
     return 0

@@ -99,6 +99,13 @@ class BatchedDetector:
                 buckets.setdefault(shape, []).append((key, img))
                 if len(buckets[shape]) == self.batch_size:
                     dispatch(buckets.pop(shape), shape)
+                # heterogeneous-shape datalists: partial buckets must not
+                # accumulate unboundedly — flush the fullest one whenever
+                # total residency exceeds ~2 batches of images
+                elif sum(len(v) for v in buckets.values()) \
+                        > 2 * self.batch_size:
+                    big = max(buckets, key=lambda s: len(buckets[s]))
+                    dispatch(buckets.pop(big), big)
             for shape, pairs in buckets.items():
                 dispatch(pairs, shape)
             for p in pending:

@@ -404,6 +404,10 @@ class SFinder:
             boxes, scores, cls, valid, tile_ok, ndrop = (
                 np.asarray(o) for o in outs)
             for k, t in enumerate(kept_tiles):
+                # pop unconditionally: stored views pin the whole batch
+                # buffer, and tile_ok=False entries would otherwise leak
+                tile_img = (arrs_by_tid.pop(t.tid, None)
+                            if cfg.save_tile_img else None)
                 if ndrop[k]:
                     logger.warning(
                         "Tile %d: NMS pre-filter dropped %d "
@@ -415,9 +419,9 @@ class SFinder:
                 tr = self._tile_objects(
                     t, boxes[k][valid[k]], scores[k][valid[k]],
                     cls[k][valid[k]], neighbor_ids=None)
-                if cfg.save_tile_img:
+                if tile_img is not None:
                     from caesar_yolo_tpu.utils.fits import write_fits
-                    write_fits(arrs_by_tid.pop(t.tid),
+                    write_fits(tile_img,
                                f"timg_{self.image_id}_tid{t.tid}.fits")
                 results.append(tr)
                 spool.write(json.dumps(tr) + "\n")

@@ -309,3 +309,33 @@ def test_train_cli_with_validation(tmp_path, monkeypatch):
     assert rc == 0
     assert (tmp_path / "ckpt" / "best").exists()
     assert (tmp_path / "ckpt" / "last").exists()
+
+
+def test_cli_datalist_draw_falls_back_to_analyzer(tmp_path, monkeypatch):
+    """--datalist with plot flags must keep the per-image Analyzer
+    behavior (plots written) instead of the batched catalog-only path."""
+    import matplotlib
+    matplotlib.use("Agg")
+    from caesar_yolo_tpu.cli.run import main
+    from caesar_yolo_tpu.models.convert import save_params
+    from caesar_yolo_tpu.models.yolo import build_model, init_params
+
+    rng = np.random.default_rng(0)
+    paths = []
+    for i in range(2):
+        p = tmp_path / f"cut{i}.fits"
+        write_fits(rng.random((48, 48), np.float32), str(p))
+        paths.append(str(p))
+    (tmp_path / "list.txt").write_text("\n".join(paths))
+    m = build_model("yolov8n", num_classes=5)
+    w = tmp_path / "w.npz"
+    save_params(init_params(m, 0), str(w),
+                meta={"model": "yolov8n", "num_classes": 5})
+    monkeypatch.chdir(tmp_path)
+    rc = main([f"--weights={w}", f"--datalist={tmp_path / 'list.txt'}",
+               "--imgsize=64", "--scoreThr=0.001", "--draw_plots",
+               "--save_plots"])
+    assert rc == 0
+    for i in range(2):
+        assert (tmp_path / f"out_cut{i}.json").exists()
+        assert (tmp_path / f"out_cut{i}.png").exists()

@@ -166,3 +166,22 @@ def test_match_detail_and_figure(tmp_path):
     fig = tmp_path / "metrics.png"
     save_report_figure(compute_metrics([gt], [pred], 0.6), str(fig))
     assert fig.stat().st_size > 1000
+
+
+def test_batched_detector_heterogeneous_shapes_bounded():
+    """More distinct shapes than fit in the residency window: partial
+    buckets are flushed (bounded memory), every image still detected."""
+    import jax.numpy as jnp
+    from caesar_yolo_tpu.detect.batch import BatchedDetector
+    from caesar_yolo_tpu.models.yolo import build_model, init_params
+
+    rng = np.random.default_rng(7)
+    imgs = {f"k{i}": rng.random((40 + 2 * i, 40 + 2 * i, 1),
+                                dtype=np.float32) for i in range(7)}
+    m = build_model("yolov8n", num_classes=5)
+    det = BatchedDetector(m, init_params(m, 0), img_size=64,
+                          score_thr=1e-3, batch_size=2,
+                          compute_dtype=jnp.float32)
+    out = det.detect_many(list(imgs), lambda k: imgs[k])
+    assert len(out) == 7
+    assert all(v is not None and v[3] for v in out.values())
