@@ -164,7 +164,7 @@ def main():
     @jax.jit
     def loop(params, tiles):
         def body(_, x):
-            imgs, ok = jax.vmap(preproc.apply)(x)
+            imgs, ok = preproc.apply_batch(x)
             imgs = jnp.repeat(imgs, 3, axis=-1)
             xx = letterbox_batch(imgs, img_size).astype(jnp.bfloat16)
             raw = model(params, xx)

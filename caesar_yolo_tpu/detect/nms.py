@@ -35,12 +35,15 @@ truncating crowded fields.
 
 from __future__ import annotations
 
+import math
 from functools import partial
 
 import jax
 import jax.numpy as jnp
 from jax import lax
 
+from caesar_yolo_tpu.models.yolo import anchor_points, decode_dfl_window, \
+    flatten_raw
 from caesar_yolo_tpu.utils.boxes import iou_matrix
 
 MAX_WH = 7680.0  # class offset multiplier (larger than any letterbox size)
@@ -65,6 +68,15 @@ def nms_single(boxes: jnp.ndarray, scores: jnp.ndarray,
     n_dropped counts above-threshold candidates beyond the pre_nms
     window (0 = exact, >0 = the crowded-field truncation was hit).
     """
+    top_boxes, top_conf, top_cls, top_valid, n_dropped, nms_boxes = \
+        _select_candidates(boxes, scores, conf_thr, pre_nms, class_agnostic)
+    alive = _suppress_xla(nms_boxes, top_valid, iou_thr)
+    out = _compact(top_boxes, top_conf, top_cls, alive, max_det)
+    return (*out, n_dropped)
+
+
+def _select_candidates(boxes, scores, conf_thr, pre_nms, class_agnostic):
+    """Single-label candidate selection + score-descending top-k window."""
     conf = jnp.max(scores, axis=-1)
     cls = jnp.argmax(scores, axis=-1).astype(jnp.int32)
     cand = conf > conf_thr
@@ -81,6 +93,53 @@ def nms_single(boxes: jnp.ndarray, scores: jnp.ndarray,
     if not class_agnostic:
         nms_boxes = top_boxes + (top_cls[:, None].astype(top_boxes.dtype)
                                  * MAX_WH)
+    return top_boxes, top_conf, top_cls, top_valid, n_dropped, nms_boxes
+
+
+def _select_candidates_raw(dist, logits, anchors, strides, conf_thr,
+                           pre_nms, class_agnostic):
+    """Logit-space candidate selection + window-only DFL decode (one
+    image): dist [A, 4, REG_MAX] raw box logits, logits [A, NC] raw
+    class logits.
+
+    Exactly `_select_candidates` composed with `decode_dfl`, computed
+    cheaper: sigmoid is strictly monotone, so max/argmax/threshold/top-k
+    run on raw logits, and the f32 DFL softmax-expectation runs only on
+    the selected pre_nms window instead of every anchor.  Only
+    observable difference: score ties that exist in f32 sigmoid space
+    but not in logit space (sigmoid saturation at |logit| >~ 17) can
+    break index order differently.
+    """
+    mlog = jnp.max(logits, axis=-1).astype(jnp.float32)
+    cls = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    if conf_thr <= 0.0:
+        lthr = -jnp.inf          # conf = sigmoid(mlog) > 0 is always true
+    elif conf_thr >= 1.0:
+        lthr = jnp.inf
+    else:
+        lthr = math.log(conf_thr / (1.0 - conf_thr))
+    cand = mlog > lthr
+
+    k = min(pre_nms, mlog.shape[0])
+    n_cand = jnp.sum(cand, dtype=jnp.int32)
+    n_dropped = jnp.maximum(n_cand - k, 0)
+    top_ml, top_idx = lax.top_k(jnp.where(cand, mlog, -jnp.inf), k)
+    top_conf = jax.nn.sigmoid(top_ml)
+    top_cls = cls[top_idx]
+    top_valid = top_ml > lthr
+    top_boxes = decode_dfl_window(dist[top_idx], anchors[top_idx],
+                                  strides[top_idx])
+
+    nms_boxes = top_boxes
+    if not class_agnostic:
+        nms_boxes = top_boxes + (top_cls[:, None].astype(top_boxes.dtype)
+                                 * MAX_WH)
+    return top_boxes, top_conf, top_cls, top_valid, n_dropped, nms_boxes
+
+
+def _suppress_xla(nms_boxes, top_valid, iou_thr):
+    """Greedy fixpoint sweeps over the materialized [K, K] IoU matrix."""
+    k = nms_boxes.shape[0]
     iou = iou_matrix(nms_boxes, nms_boxes)
 
     # suppress[j, i]: candidate j, if alive, would kill i (rows are
@@ -100,9 +159,12 @@ def nms_single(boxes: jnp.ndarray, scores: jnp.ndarray,
         return state[1]
 
     alive, _ = lax.while_loop(cond, sweep, (top_valid, jnp.bool_(True)))
+    return alive
 
-    # Compact kept rows into a fixed [max_det] output (scatter by rank;
-    # overflow beyond max_det lands in a discard row).
+
+def _compact(top_boxes, top_conf, top_cls, alive, max_det):
+    """Compact kept rows into a fixed [max_det] output (scatter by rank;
+    overflow beyond max_det lands in a discard row)."""
     rank = jnp.cumsum(alive) - 1
     dst = jnp.where(alive & (rank < max_det), rank, max_det)
     out_boxes = jnp.zeros((max_det + 1, 4), top_boxes.dtype).at[dst].set(
@@ -113,7 +175,7 @@ def nms_single(boxes: jnp.ndarray, scores: jnp.ndarray,
         top_cls)[:max_det]
     out_valid = jnp.zeros((max_det + 1,), bool).at[dst].set(
         alive)[:max_det]
-    return out_boxes, out_scores, out_cls, out_valid, n_dropped
+    return out_boxes, out_scores, out_cls, out_valid
 
 
 @partial(jax.jit, static_argnames=("conf_thr", "iou_thr", "max_det",
@@ -124,7 +186,61 @@ def nms_batch(boxes: jnp.ndarray, scores: jnp.ndarray,
               class_agnostic: bool = False):
     """Batched NMS: boxes [B, A, 4], scores [B, A, NC] ->
     (boxes[B, max_det, 4], scores[B, max_det], cls[B, max_det],
-    valid[B, max_det], n_dropped[B])."""
-    return jax.vmap(lambda b, s: nms_single(
-        b, s, conf_thr=conf_thr, iou_thr=iou_thr, max_det=max_det,
-        pre_nms=pre_nms, class_agnostic=class_agnostic))(boxes, scores)
+    valid[B, max_det], n_dropped[B]).
+
+    On TPU the suppression fixpoint runs as a VMEM-resident Pallas
+    kernel (detect/pallas_nms.py) — numerically identical to the XLA
+    sweep path used everywhere else."""
+    top_boxes, top_conf, top_cls, top_valid, n_dropped, nms_boxes = \
+        jax.vmap(lambda b, s: _select_candidates(
+            b, s, conf_thr, pre_nms, class_agnostic))(boxes, scores)
+    alive = _suppress_batch(nms_boxes, top_valid, iou_thr)
+    outs = jax.vmap(lambda tb, tc, tk, al: _compact(
+        tb, tc, tk, al, max_det))(top_boxes, top_conf, top_cls, alive)
+    return (*outs, n_dropped)
+
+
+def _suppress_batch(nms_boxes, top_valid, iou_thr):
+    """Batched suppression: VMEM-resident Pallas kernel on TPU
+    (detect/pallas_nms.py), the XLA sweeps everywhere else — numerically
+    identical (parity pinned by tests/test_pallas_nms.py)."""
+    if jax.default_backend() == "tpu":
+        from caesar_yolo_tpu.detect.pallas_nms import nms_suppress
+        return nms_suppress(jnp.transpose(nms_boxes, (0, 2, 1)),
+                            top_valid, iou_thr)
+    return jax.vmap(lambda nb, tv: _suppress_xla(nb, tv, iou_thr))(
+        nms_boxes, top_valid)
+
+
+@partial(jax.jit, static_argnames=("img_size", "conf_thr", "iou_thr",
+                                   "max_det", "pre_nms", "class_agnostic"))
+def nms_batch_raw(raw, img_size: int,
+                  conf_thr: float = 0.25, iou_thr: float = 0.5,
+                  max_det: int = 300, pre_nms: int = DEFAULT_PRE_NMS,
+                  class_agnostic: bool = False):
+    """Fused decode+NMS straight from raw head outputs.
+
+    Same contract as `nms_batch(*decode_dfl(raw, img_size), ...)` —
+    parity-pinned by tests/test_detect.py — with selection in logit
+    space and the f32 DFL softmax-expectation computed only on the
+    selected pre_nms window.
+
+    NOT the default hot path.  Measured on v5e (in-graph interleaved
+    A/B, yolov8n B=128): 21.7 vs 19.6 ms/batch AGAINST this variant —
+    the window gathers (dist[top_idx]: 64-element rows at unaligned
+    indices) cost more than the full-array softmax+sigmoid they avoid,
+    which XLA fuses into neighbors essentially for free.  A middle
+    variant (logit-space selection, full-array decode) measured neutral
+    (19.9 vs 19.8).  Kept with parity tests as the documented negative
+    result and for backends where gathers are cheap.
+    """
+    dist, logits = flatten_raw(raw)
+    anchors, strides = anchor_points(img_size)
+    top_boxes, top_conf, top_cls, top_valid, n_dropped, nms_boxes = \
+        jax.vmap(lambda d, l: _select_candidates_raw(
+            d, l, anchors, strides, conf_thr, pre_nms,
+            class_agnostic))(dist, logits)
+    alive = _suppress_batch(nms_boxes, top_valid, iou_thr)
+    outs = jax.vmap(lambda tb, tc, tk, al: _compact(
+        tb, tc, tk, al, max_det))(top_boxes, top_conf, top_cls, alive)
+    return (*outs, n_dropped)

@@ -307,25 +307,40 @@ def anchor_points(img_size: int, strides=STRIDES, offset: float = 0.5):
     return jnp.asarray(np.concatenate(pts)), jnp.asarray(np.concatenate(strs))
 
 
+def flatten_raw(raw):
+    """Flatten per-level head outputs into (dist[B, A, 4, REG_MAX],
+    logits[B, A, NC]) in their native dtype — no softmax/sigmoid applied.
+    A = sum_l (S/stride_l)^2, levels concatenated in stride order (the
+    anchor_points order)."""
+    dist_lvls, cls_lvls = [], []
+    for (box, cls) in raw:
+        b, h, w, _ = box.shape
+        dist_lvls.append(box.reshape(b, h * w, 4, REG_MAX))
+        cls_lvls.append(cls.reshape(b, h * w, -1))
+    return (jnp.concatenate(dist_lvls, axis=1),
+            jnp.concatenate(cls_lvls, axis=1))
+
+
+def decode_dfl_window(dist, anchors, strides):
+    """DFL decode for an already-gathered anchor window: dist
+    [..., 4, REG_MAX] raw logits, anchors [..., 2] grid-unit centers,
+    strides [..., 1] -> xyxy boxes [..., 4] in input pixels.  Same math
+    (f32 softmax-expectation) as decode_dfl, batched or not."""
+    prob = jax.nn.softmax(dist.astype(jnp.float32), axis=-1)
+    bins = jnp.arange(REG_MAX, dtype=jnp.float32)
+    ltrb = jnp.einsum("...fr,r->...f", prob, bins)
+    xy1 = (anchors - ltrb[..., 0:2]) * strides
+    xy2 = (anchors + ltrb[..., 2:4]) * strides
+    return jnp.concatenate([xy1, xy2], axis=-1)
+
+
 def decode_dfl(raw, img_size: int):
     """Shared DFL decode: softmax-expectation over REG_MAX bins -> l,t,r,b
     distances from anchor centers -> xyxy pixels; sigmoid class scores."""
-    boxes_lvls, cls_lvls = [], []
-    for (box, cls) in raw:
-        b, h, w, _ = box.shape
-        boxes_lvls.append(box.reshape(b, h * w, 4, REG_MAX))
-        cls_lvls.append(cls.reshape(b, h * w, -1))
-    dist = jnp.concatenate(boxes_lvls, axis=1).astype(jnp.float32)
-    logits = jnp.concatenate(cls_lvls, axis=1).astype(jnp.float32)
-    # DFL expectation
-    prob = jax.nn.softmax(dist, axis=-1)
-    bins = jnp.arange(REG_MAX, dtype=jnp.float32)
-    ltrb = jnp.einsum("bafr,r->baf", prob, bins)
+    dist, logits = flatten_raw(raw)
     anchors, strides = anchor_points(img_size)
-    xy1 = (anchors[None] - ltrb[..., 0:2]) * strides[None]
-    xy2 = (anchors[None] + ltrb[..., 2:4]) * strides[None]
-    boxes = jnp.concatenate([xy1, xy2], axis=-1)
-    scores = jax.nn.sigmoid(logits)
+    boxes = decode_dfl_window(dist, anchors[None], strides[None])
+    scores = jax.nn.sigmoid(logits.astype(jnp.float32))
     return boxes, scores
 
 

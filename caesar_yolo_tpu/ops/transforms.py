@@ -536,8 +536,18 @@ class Pipeline:
     __call__(data[H, W, C]) -> (data', valid)  — jit-compiled per shape.
     """
 
-    def __init__(self, stages: Sequence[Transform]):
+    def __init__(self, stages: Sequence[Transform], fused_batch=None):
         self.stages = list(stages)
+        # Optional hand-fused Pallas variant: a callable (tiles[B,H,W,1])
+        # -> (out, valid[B]) implementing the SAME semantics as the stage
+        # chain as one VMEM-resident kernel (set by build_preprocessor
+        # when the stage pattern has one).  NOT used by default: measured
+        # on v5e the XLA-fused chain is faster both inside the detect
+        # program (19.6 vs 20.4 ms/batch-128) and standalone (1.91 vs
+        # 2.87 ms) — the pallas_call is an opaque fusion barrier while
+        # XLA fuses the whole chain itself.  Kept opt-in via
+        # apply_batch(use_fused=True) with parity tests.
+        self.fused_batch = fused_batch
 
         def run(data):
             data = jnp.asarray(data, dtype=jnp.float32)
@@ -553,9 +563,23 @@ class Pipeline:
     def __call__(self, data):
         return self._run(data)
 
+    def apply_batch(self, tiles, out_dtype=jnp.float32, use_fused=False):
+        """[B, H, W, C] -> (out, valid[B]).  Pure — traceable inside
+        larger jitted programs.  The default path vmaps the stage chain
+        and lets XLA fuse it (measured faster than the hand-fused Pallas
+        kernel, see __init__); `use_fused=True` opts into the Pallas
+        variant when the stage pattern has one and input is
+        single-channel.  Math is f32 either way; `out_dtype` casts the
+        output."""
+        if (use_fused and self.fused_batch is not None
+                and tiles.shape[-1] == 1):
+            return self.fused_batch(tiles, out_dtype=out_dtype)
+        out, ok = jax.vmap(self.apply)(tiles)
+        return out.astype(out_dtype), ok
+
     def batched(self):
-        """vmapped variant for [B, H, W, C] tile batches."""
-        return jax.jit(jax.vmap(lambda d: self._run(d)))
+        """jitted batch variant for [B, H, W, C] tile batches."""
+        return jax.jit(self.apply_batch)
 
 
 def build_preprocessor(
@@ -598,4 +622,17 @@ def build_preprocessor(
         stages.append(min_max_normalizer(norm_min=norm_min, norm_max=norm_max))
     if not stages:
         return None
-    return Pipeline(stages)
+    fused = None
+    if (zscale_stretch and normalize_minmax and not subtract_bkg
+            and not clip_shift_data and not clip_data and nchannels <= 1
+            and not chan3_preproc
+            and len({float(c) for c in zscale_contrasts}) == 1):
+        # README-default preprocessing (reference test/run_inference.sh):
+        # zscale + minmax has a fused two-pass Pallas implementation
+        from functools import partial as _partial
+
+        from caesar_yolo_tpu.ops.pallas_preproc import fused_zscale_minmax
+        fused = _partial(fused_zscale_minmax,
+                         contrast=float(zscale_contrasts[0]),
+                         norm_min=float(norm_min), norm_max=float(norm_max))
+    return Pipeline(stages, fused_batch=fused)

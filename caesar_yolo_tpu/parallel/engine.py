@@ -91,25 +91,33 @@ class TileEngine:
         nchan = self.model.in_channels
         preproc = self.preprocessor
 
-        def one_tile(tile):
-            """[h, w, c] -> (img[h, w, nchan], ok scalar)."""
-            img = tile.astype(jnp.float32)
-            if img.shape[-1] == 1 and nchan > 1:
-                img = jnp.repeat(img, nchan, axis=-1)
-            ok = jnp.bool_(True)
+        def prep_batch(tiles):
+            """[b, h, w, c] -> (imgs[b, h, w, nchan], ok[b]).
+
+            Gray tiles replicate to nchan BEFORE preprocessing (reference
+            evaluation.py:146-154).  The whole batch preprocessing stays
+            one XLA-fused region (vmapped stage chain — measured faster
+            than the hand-fused Pallas kernel, see ops/transforms.py
+            Pipeline).
+            """
+            x = tiles.astype(jnp.float32)
+            if x.shape[-1] == 1 and nchan > 1:
+                x = jnp.repeat(x, nchan, axis=-1)
             if preproc is not None:
-                img, ok = preproc.apply(img)
-                if img.shape[-1] == 1 and nchan > 1:
-                    img = jnp.repeat(img, nchan, axis=-1)
+                imgs, ok = jax.vmap(preproc.apply)(x)
+            else:
+                imgs, ok = x, jnp.ones((x.shape[0],), bool)
+            if imgs.shape[-1] == 1 and nchan > 1:
+                imgs = jnp.repeat(imgs, nchan, axis=-1)
             # degenerate-channel guard (reference evaluation.py:168-176,
             # fixed to index channels)
-            cmin = jnp.min(img, axis=(0, 1))
-            cmax = jnp.max(img, axis=(0, 1))
-            ok = ok & jnp.all(cmax > cmin)
-            return img, ok
+            cmin = jnp.min(imgs, axis=(1, 2))
+            cmax = jnp.max(imgs, axis=(1, 2))
+            ok = ok & jnp.all(cmax > cmin, axis=-1)
+            return imgs, ok
 
         def step(params, tiles):
-            imgs, tile_ok = jax.vmap(one_tile)(tiles)
+            imgs, tile_ok = prep_batch(tiles)
             x = letterbox_batch(imgs, S).astype(self.compute_dtype)
             raw = self.model(params, x)
             boxes, scores = decode_dfl(raw, S)

@@ -170,3 +170,59 @@ def test_analyzer_degenerate_image(tiny_predictor):
         write_json=False, write_ds9=False))
     assert an.predict(np.zeros((64, 64), np.float32), "flat") == -1
     assert len(an.detections) == 0
+
+
+def test_nms_batch_raw_matches_composed(rng):
+    """The fused logit-space path (nms_batch_raw) must reproduce
+    decode_dfl -> nms_batch exactly: sigmoid/argmax monotonicity makes
+    selection order identical, and the window-gathered DFL softmax is
+    the same per-anchor reduction."""
+    import jax
+    from caesar_yolo_tpu.detect.nms import nms_batch, nms_batch_raw
+    from caesar_yolo_tpu.models.yolo import REG_MAX, decode_dfl
+
+    S, NC, B = 64, 5, 3
+    raw = []
+    for stride in (8, 16, 32):
+        n = S // stride
+        box = rng.normal(0, 2, (B, n, n, 4 * REG_MAX)).astype(np.float32)
+        cls = rng.normal(-2, 2.5, (B, n, n, NC)).astype(np.float32)
+        raw.append((jnp.asarray(box), jnp.asarray(cls)))
+    raw = tuple(raw)
+
+    for conf_thr, pre_nms, agn in [(0.25, 32, False), (0.5, 16, True),
+                                   (0.7, 8, False)]:
+        boxes, scores = decode_dfl(raw, S)
+        ref = nms_batch(boxes, scores, conf_thr=conf_thr, iou_thr=0.5,
+                        max_det=20, pre_nms=pre_nms, class_agnostic=agn)
+        got = nms_batch_raw(raw, S, conf_thr=conf_thr, iou_thr=0.5,
+                            max_det=20, pre_nms=pre_nms, class_agnostic=agn)
+        for name, r, g in zip(("boxes", "scores", "cls", "valid", "ndrop"),
+                              ref, got):
+            np.testing.assert_array_equal(np.asarray(r), np.asarray(g),
+                                          err_msg=f"{name} @conf={conf_thr}")
+
+
+def test_nms_batch_raw_bf16_head(rng):
+    """bf16 raw head outputs (the engine's compute dtype) decode through
+    the fused path identically to the composed f32-cast path."""
+    from caesar_yolo_tpu.detect.nms import nms_batch, nms_batch_raw
+    from caesar_yolo_tpu.models.yolo import REG_MAX, decode_dfl
+
+    S, NC, B = 32, 5, 2
+    raw = []
+    for stride in (8, 16, 32):
+        n = S // stride
+        box = jnp.asarray(
+            rng.normal(0, 2, (B, n, n, 4 * REG_MAX))).astype(jnp.bfloat16)
+        cls = jnp.asarray(
+            rng.normal(0, 3, (B, n, n, NC))).astype(jnp.bfloat16)
+        raw.append((box, cls))
+    raw = tuple(raw)
+    boxes, scores = decode_dfl(raw, S)
+    ref = nms_batch(boxes, scores, conf_thr=0.3, iou_thr=0.5, max_det=10,
+                    pre_nms=16)
+    got = nms_batch_raw(raw, S, conf_thr=0.3, iou_thr=0.5, max_det=10,
+                        pre_nms=16)
+    for r, g in zip(ref, got):
+        np.testing.assert_array_equal(np.asarray(r), np.asarray(g))

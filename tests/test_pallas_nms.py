@@ -1,0 +1,72 @@
+"""Pallas NMS suppression kernel: parity vs the XLA sweep path
+(interpret mode on CPU)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import caesar_yolo_tpu.detect.pallas_nms as pk
+from caesar_yolo_tpu.detect import nms as nms_mod
+
+
+@pytest.fixture(autouse=True)
+def interpret_mode(monkeypatch):
+    monkeypatch.setattr(pk, "INTERPRET", True)
+
+
+def _random_candidates(rng, b, k, spread=100.0):
+    """Score-descending candidate boxes the way _select_candidates
+    hands them to the suppression stage: [B, K, 4] xyxy + valid."""
+    cx = rng.random((b, k)) * spread
+    cy = rng.random((b, k)) * spread
+    w = rng.random((b, k)) * 30 + 2
+    h = rng.random((b, k)) * 30 + 2
+    boxes = np.stack([cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2],
+                     axis=-1).astype(np.float32)
+    valid = rng.random((b, k)) > 0.1
+    # score-descending order means trailing invalids; keep a few holes
+    # too (class-offset path can interleave) — the kernel must honor
+    # arbitrary valid masks exactly like the XLA path.
+    valid[:, -3:] = False
+    return jnp.asarray(boxes), jnp.asarray(valid)
+
+
+@pytest.mark.parametrize("iou_thr", [0.3, 0.5, 0.7])
+def test_kernel_matches_xla_sweep(rng, iou_thr):
+    boxes, valid = _random_candidates(rng, b=4, k=64, spread=60.0)
+    ref = jax.vmap(lambda nb, tv: nms_mod._suppress_xla(nb, tv, iou_thr))(
+        boxes, valid)
+    got = pk.nms_suppress(jnp.transpose(boxes, (0, 2, 1)), valid, iou_thr)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_kernel_crowded_scene(rng):
+    """Dense overlaps force multi-sweep fixpoints (chained suppression
+    where a killed box un-kills its own victims)."""
+    boxes, valid = _random_candidates(rng, b=2, k=128, spread=25.0)
+    ref = jax.vmap(lambda nb, tv: nms_mod._suppress_xla(nb, tv, 0.5))(
+        boxes, valid)
+    got = pk.nms_suppress(jnp.transpose(boxes, (0, 2, 1)), valid, 0.5)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+    # sanity: suppression actually happened and survivors exist
+    kept = np.asarray(got).sum()
+    assert 0 < kept < np.asarray(valid).sum()
+
+
+def test_kernel_all_invalid():
+    boxes = jnp.zeros((1, 8, 4), jnp.float32)
+    valid = jnp.zeros((1, 8), bool)
+    got = pk.nms_suppress(jnp.transpose(boxes, (0, 2, 1)), valid, 0.5)
+    assert not np.asarray(got).any()
+
+
+def test_identical_boxes_keep_first():
+    """N identical boxes: only the highest-scoring (row 0) survives —
+    the strict rank ordering (row_ids < col_ids) must match XLA."""
+    box = jnp.asarray([[10.0, 10.0, 40.0, 40.0]])
+    boxes = jnp.tile(box, (6, 1))[None]          # [1, 6, 4]
+    valid = jnp.ones((1, 6), bool)
+    got = np.asarray(pk.nms_suppress(
+        jnp.transpose(boxes, (0, 2, 1)), valid, 0.5))
+    assert got.tolist() == [[True] + [False] * 5]

@@ -40,3 +40,40 @@ def test_fused_degenerate_tile_invalid():
     tiles[0] = np.random.default_rng(0).random((32, 32))
     out, valid = pk.fused_zscale_minmax(jnp.asarray(tiles))
     assert np.asarray(valid).tolist() == [True, False]
+
+
+def test_fused_out_dtype_bf16():
+    """out_dtype casts in-kernel; math stays f32 (values match the f32
+    output rounded to bf16)."""
+    tiles = np.random.default_rng(1).random((2, 32, 32)).astype(np.float32)
+    f32, v32 = pk.fused_zscale_minmax(jnp.asarray(tiles))
+    bf16, v16 = pk.fused_zscale_minmax(jnp.asarray(tiles),
+                                       out_dtype=jnp.bfloat16)
+    assert bf16.dtype == jnp.bfloat16
+    np.testing.assert_array_equal(np.asarray(v32), np.asarray(v16))
+    np.testing.assert_array_equal(
+        np.asarray(bf16), np.asarray(f32.astype(jnp.bfloat16)))
+
+
+def test_build_preprocessor_attaches_fused():
+    """The README-default pattern gets the fused TPU path; patterns the
+    kernel does not implement must not."""
+    pipe = build_preprocessor(zscale_stretch=True, normalize_minmax=True)
+    assert pipe.fused_batch is not None
+    pipe2 = build_preprocessor(zscale_stretch=True, normalize_minmax=True,
+                               clip_data=True)
+    assert pipe2.fused_batch is None
+
+
+def test_apply_batch_fused_matches_generic(rng):
+    """apply_batch(use_fused=True): the opt-in Pallas kernel (interpret
+    mode) agrees with the default XLA-fused chain."""
+    import jax
+
+    tiles = rng.random((3, 32, 32, 1), dtype=np.float32) + 0.05
+    tiles[1, 2:6, 3:9] = 0.0
+    pipe = build_preprocessor(zscale_stretch=True, normalize_minmax=True)
+    ref, ok_ref = jax.vmap(pipe.apply)(jnp.asarray(tiles))
+    out, ok = pipe.apply_batch(jnp.asarray(tiles), use_fused=True)
+    np.testing.assert_array_equal(np.asarray(ok), np.asarray(ok_ref))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
