@@ -1,0 +1,92 @@
+"""Serving export (deploy.py): serialize/deserialize roundtrip parity
+with the live TileEngine, weights embedded, no model code needed."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from caesar_yolo_tpu.deploy import (build_serving_step, export_detector,
+                                    load_detector)
+from caesar_yolo_tpu.models.yolo import build_model, init_params
+from caesar_yolo_tpu.ops import build_preprocessor
+from caesar_yolo_tpu.parallel.engine import TileEngine
+
+
+def _tiles(rng, b=2, h=64, w=64):
+    t = rng.random((b, h, w, 1), dtype=np.float32)
+    if b > 1:
+        t[1, :8, :8] = 0.0  # masked corner, still valid
+    return t
+
+
+def test_export_roundtrip_matches_engine(rng):
+    model = build_model("yolov8n", num_classes=5)
+    params = init_params(model, 0)
+    pipe = build_preprocessor(zscale_stretch=True, normalize_minmax=True)
+    tiles = _tiles(rng)
+
+    engine = TileEngine(model, params, preprocessor=pipe, img_size=64,
+                        score_thr=0.01, max_det=20)
+    ref = engine.process(tiles)
+
+    blob = export_detector(model, params, preprocessor=pipe,
+                           tile_shape=tiles.shape[1:], batch=tiles.shape[0],
+                           img_size=64, score_thr=0.01, max_det=20)
+    assert isinstance(blob, bytes) and len(blob) > 0
+    det = load_detector(blob)
+    got = tuple(np.asarray(o) for o in det(jnp.asarray(tiles)))
+
+    assert len(ref) == len(got) == 6
+    for name, r, g in zip(("boxes", "scores", "cls", "valid", "tile_ok",
+                           "ndrop"), ref, got):
+        np.testing.assert_allclose(r, g, atol=1e-5, err_msg=name)
+
+
+def test_serving_step_degenerate_tile(rng):
+    """All-zero tiles must flag tile_ok=False through the exported step
+    semantics (same guard as the engine)."""
+    model = build_model("yolov8n", num_classes=5)
+    params = init_params(model, 0)
+    pipe = build_preprocessor(zscale_stretch=True, normalize_minmax=True)
+    step = build_serving_step(model, params, preprocessor=pipe,
+                              img_size=64, score_thr=0.01)
+    tiles = _tiles(rng)
+    tiles[0] = 0.0
+    out = step(jnp.asarray(tiles))
+    tile_ok = np.asarray(out[4])
+    assert tile_ok.tolist() == [False, True]
+    assert not np.asarray(out[3])[0].any()  # no valid dets on dead tile
+
+
+def test_export_blob_is_standalone(rng, tmp_path):
+    """The artifact reloads from disk bytes alone (file -> call),
+    the deployment contract."""
+    model = build_model("yolov8n", num_classes=5)
+    params = init_params(model, 0)
+    tiles = _tiles(rng, b=1, h=32, w=32)
+    blob = export_detector(model, params, tile_shape=(32, 32, 1), batch=1,
+                           img_size=32, score_thr=0.01, max_det=5)
+    p = tmp_path / "det.cyx"
+    p.write_bytes(blob)
+    det = load_detector(p.read_bytes())
+    out = det(jnp.asarray(tiles))
+    assert out[0].shape == (1, 5, 4)
+
+
+def test_export_cli(rng, tmp_path, monkeypatch):
+    from caesar_yolo_tpu.cli.export import main
+    from caesar_yolo_tpu.deploy import load_detector
+    from caesar_yolo_tpu.models.convert import save_params
+
+    m = build_model("yolov8n", num_classes=5)
+    w = tmp_path / "w.npz"
+    save_params(init_params(m, 0), str(w),
+                meta={"model": "yolov8n", "num_classes": 5})
+    out = tmp_path / "det.cyx"
+    rc = main([f"--weights={w}", f"--out={out}", "--batch=1",
+               "--tile_xsize=32", "--tile_ysize=32", "--imgsize=32",
+               "--scoreThr=0.01", "--max_det=5",
+               "--preprocessing", "--zscale_stretch", "--normalize_minmax"])
+    assert rc == 0 and out.exists()
+    det = load_detector(out.read_bytes())
+    res = det(jnp.asarray(_tiles(rng, b=1, h=32, w=32)))
+    assert res[0].shape == (1, 5, 4)
