@@ -156,8 +156,21 @@ def main():
     iters = int(os.environ.get("BENCH_ITERS", "20"))
 
     model = build_model(model_name, num_classes=5)
-    params = jax.device_put(fuse_model_params(model, init_params(model, 0)))
+    params = fuse_model_params(model, init_params(model, 0))
     preproc = build_preprocessor(zscale_stretch=True, normalize_minmax=True)
+
+    quant = os.environ.get("BENCH_QUANT") == "1"
+    if quant:
+        # int8 PTQ: calibrate on a small prepped batch (eager), then swap
+        # in the quantized weights — same loop, s8 convs on the MXU
+        from caesar_yolo_tpu.models.quant import (
+            calibration_inputs_from_tiles, quantize_model)
+        crng = np.random.default_rng(1)
+        calib = calibration_inputs_from_tiles(
+            crng.random((4, img_size, img_size, 1), dtype=np.float32),
+            preprocessor=preproc, img_size=img_size)
+        params = quantize_model(model, params, calib, fused=True)
+    params = jax.device_put(params)
 
     from jax import lax
 
@@ -192,7 +205,9 @@ def main():
     tiles_per_sec = batch * iters / dt
     target = 500.0  # driver north-star, BASELINE.json
     print(json.dumps({
-        "metric": f"{model_name}@{img_size} e2e tiles/sec/chip",
+        "metric": (f"{model_name}@{img_size}"
+                   + (" int8" if quant else "")
+                   + " e2e tiles/sec/chip"),
         "value": round(tiles_per_sec, 2),
         "unit": "tiles/s",
         "vs_baseline": round(tiles_per_sec / target, 3),

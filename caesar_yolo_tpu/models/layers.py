@@ -38,6 +38,33 @@ BN_EPS = 1e-3
 _TRAIN_MODE = False
 _BN_STATS: dict | None = None
 
+# PTQ calibration context: inside `quant_calibrate()`, every Conv call
+# (eager, not traced) records the running max|input| keyed by id(module)
+# — the same instance-keyed convention as the precise-BN collector.
+_QUANT_CALIB: dict | None = None
+
+
+class quant_calibrate:
+    """Context manager collecting per-Conv activation ranges for PTQ.
+
+    Run eager (un-jitted) forwards inside; the dict maps id(conv_module)
+    -> max|x| seen.  models/quant.py turns these into int8 input scales.
+    """
+
+    def __init__(self, collect: dict | None = None):
+        self.collect = collect if collect is not None else {}
+
+    def __enter__(self):
+        global _QUANT_CALIB
+        self._prev = _QUANT_CALIB
+        _QUANT_CALIB = self.collect
+        return self.collect
+
+    def __exit__(self, *exc):
+        global _QUANT_CALIB
+        _QUANT_CALIB = self._prev
+        return False
+
 
 class train_mode:
     """Context manager enabling batch-stat BatchNorm for model calls
@@ -66,14 +93,15 @@ def silu(x):
     return x * jax.nn.sigmoid(x)
 
 
-def _conv2d(x, w, stride: int, pad: int, groups: int = 1):
+def _conv2d(x, w, stride: int, pad: int, groups: int = 1,
+            acc_type=jnp.float32):
     return lax.conv_general_dilated(
         x, w,
         window_strides=(stride, stride),
         padding=((pad, pad), (pad, pad)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=groups,
-        preferred_element_type=jnp.float32,
+        preferred_element_type=acc_type,
     )
 
 
@@ -108,6 +136,21 @@ class Conv:
 
     def __call__(self, params, x):
         dtype = x.dtype
+        if "wq" in params:
+            # int8 PTQ path (models/quant.py): symmetric per-tensor input
+            # scale, per-cout weight scale; s8 x s8 -> s32 on the MXU,
+            # dequant + bias + SiLU fused into the epilogue by XLA.
+            xq = jnp.clip(jnp.round(x.astype(jnp.float32) / params["xs"]),
+                          -127, 127).astype(jnp.int8)
+            y = _conv2d(xq, params["wq"], self.s, self.pad, self.groups,
+                        acc_type=jnp.int32)
+            y = (y.astype(jnp.float32) * (params["ws"] * params["xs"])
+                 + params["b"]).astype(dtype)
+            return silu(y) if self.act else y
+        if _QUANT_CALIB is not None:
+            amax = float(jnp.max(jnp.abs(x.astype(jnp.float32))))
+            _QUANT_CALIB[id(self)] = max(_QUANT_CALIB.get(id(self), 0.0),
+                                         amax)
         y = _conv2d(x, params["w"].astype(dtype), self.s, self.pad, self.groups)
         if "bn" in params:
             bn = params["bn"]
