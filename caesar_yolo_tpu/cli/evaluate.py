@@ -30,6 +30,9 @@ def parse_args(argv=None):
     p.add_argument("--merge_overlap_iou_thr_hard", type=float, default=0.8)
     p.add_argument("--maxnimgs", type=int, default=-1)
     p.add_argument("--pre_nms", type=int, default=512)
+    p.add_argument("--int8", action="store_true",
+                   help="int8 PTQ inference calibrated on the first "
+                        "filelist image (models/quant.py)")
     p.add_argument("--batch_size", type=int, default=32,
                    help="images per compiled device batch")
     p.add_argument("--save_detail", default="",
@@ -56,6 +59,7 @@ def main(argv=None) -> int:
     from caesar_yolo_tpu.ops import build_preprocessor
 
     model, params = load_model_and_params(args)
+    engine_kwargs = {}
     preproc = None
     if args.preprocessing:
         preproc = build_preprocessor(
@@ -64,6 +68,12 @@ def main(argv=None) -> int:
             chan3_preproc=args.chan3_preproc,
             sigma_clip_low=args.sigma_clip_low,
             sigma_clip_up=args.sigma_clip_up)
+    if args.int8:
+        from caesar_yolo_tpu.cli.run import quantize_from_image
+        first = [p_.strip() for p_ in open(args.filelist) if p_.strip()]
+        params = quantize_from_image(model, params, first[0], preproc,
+                                     args.imgsize)
+        engine_kwargs = {"fuse": False}
     report = evaluate_dataset(
         model, params, args.filelist,
         label_dir=args.label_dir or None, preprocessor=preproc,
@@ -73,7 +83,8 @@ def main(argv=None) -> int:
         soft_merge_thr=args.merge_overlap_iou_thr_soft,
         hard_merge_thr=args.merge_overlap_iou_thr_hard,
         iou_thr=args.iouThr_match, max_images=args.maxnimgs,
-        detail_out=args.save_detail, plot_out=args.save_plot)
+        detail_out=args.save_detail, plot_out=args.save_plot,
+        **engine_kwargs)
     print(report.summary())
     return 0
 

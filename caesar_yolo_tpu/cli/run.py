@@ -73,6 +73,11 @@ def parse_args(argv=None):
                         help="Pre-NMS candidate window (above-threshold "
                         "candidates beyond it are dropped WITH a log; "
                         "raise for crowded fields)")
+    parser.add_argument("--int8", action="store_true",
+                        help="int8 PTQ inference: quantize dense convs "
+                        "after calibrating activation ranges on samples "
+                        "from the input image (models/quant.py; wins on "
+                        "l/x scales, quality-gated in tests)")
     parser.add_argument("--merge_overlap_iou_thr_soft", type=float,
                         default=0.3)
     parser.add_argument("--merge_overlap_iou_thr_hard", type=float,
@@ -174,7 +179,36 @@ def load_model_and_params(args):
     return model, params
 
 
-def run_datalist_tiled(model, params, cfg, images, preproc, mesh) -> int:
+def quantize_from_image(model, params, image_path, preproc, img_size):
+    """int8 PTQ for the CLI: calibrate activation ranges on up-to-3
+    square crops of the INPUT image itself (the serving distribution),
+    then quantize (models/quant.py).  Returns params for engines built
+    with fuse=False."""
+    import numpy as np
+
+    from caesar_yolo_tpu.evaluation.evaluate import load_eval_image
+    from caesar_yolo_tpu.models.quant import (calibration_inputs_from_tiles,
+                                              quantize_model)
+
+    a = load_eval_image(image_path)
+    if a is None:
+        raise ValueError(f"cannot read calibration image {image_path}")
+    if a.ndim == 2:
+        a = a[..., None]
+    h, w = a.shape[:2]
+    s = min(h, w, 640)
+    corners = {(0, 0), (h - s, w - s), ((h - s) // 2, (w - s) // 2)}
+    tiles = np.stack([a[cy:cy + s, cx:cx + s] for cy, cx in sorted(corners)])
+    calib = calibration_inputs_from_tiles(
+        tiles, preprocessor=preproc, img_size=img_size,
+        nchan=model.in_channels)
+    logger.info("int8 PTQ: calibrated on %d %dpx crops of %s",
+                len(tiles), s, image_path)
+    return quantize_model(model, params, calib)
+
+
+def run_datalist_tiled(model, params, cfg, images, preproc, mesh,
+                       engine_kwargs=None) -> int:
     """Tiled detection over a datalist, sharing ONE compiled TileEngine
     (and its jit cache) across all images."""
     from dataclasses import replace
@@ -185,7 +219,8 @@ def run_datalist_tiled(model, params, cfg, images, preproc, mesh) -> int:
     engine = None
     for path in images:
         sf = SFinder(model, params, replace(cfg, image_path=path),
-                     preprocessor=preproc, mesh=mesh, engine=engine)
+                     preprocessor=preproc, mesh=mesh, engine=engine,
+                     engine_kwargs=engine_kwargs)
         rc = sf.run_tiled()
         engine = sf._engine
         if rc != 0:
@@ -194,7 +229,8 @@ def run_datalist_tiled(model, params, cfg, images, preproc, mesh) -> int:
     return status
 
 
-def run_datalist_serial(model, params, cfg, images, preproc) -> int:
+def run_datalist_serial(model, params, cfg, images, preproc,
+                        engine_kwargs=None) -> int:
     """Per-image Analyzer datalist path (plots, crops, outfile overrides)
     sharing ONE compiled Predictor across images."""
     from dataclasses import replace
@@ -205,7 +241,8 @@ def run_datalist_serial(model, params, cfg, images, preproc) -> int:
     predictor = None
     for path in images:
         sf = SFinder(model, params, replace(cfg, image_path=path),
-                     preprocessor=preproc, predictor=predictor)
+                     preprocessor=preproc, predictor=predictor,
+                     engine_kwargs=engine_kwargs)
         rc = sf.run()
         predictor = sf._predictor
         if rc != 0:
@@ -214,7 +251,8 @@ def run_datalist_serial(model, params, cfg, images, preproc) -> int:
     return status
 
 
-def run_datalist_batched(model, params, cfg, images, preproc) -> int:
+def run_datalist_batched(model, params, cfg, images, preproc,
+                         engine_kwargs=None) -> int:
     """Whole-image detection over a datalist, batched by shape through
     one compiled program per shape (the reference dispatches the model
     once per image, macros/make_prediction.py:645-658)."""
@@ -234,7 +272,7 @@ def run_datalist_batched(model, params, cfg, images, preproc) -> int:
     detector = BatchedDetector(
         model, params, preprocessor=preproc, img_size=cfg.img_size,
         score_thr=cfg.score_thr, iou_thr=cfg.iou_thr, pre_nms=cfg.pre_nms,
-        batch_size=cfg.batch_size)
+        batch_size=cfg.batch_size, **(engine_kwargs or {}))
     shapes = {}
 
     def load(p):
@@ -311,6 +349,16 @@ def main(argv=None) -> int:
     model, params = load_model_and_params(args)
     preproc = build_preprocessor_from_args(args)
 
+    engine_kwargs = None
+    if args.int8:
+        calib_image = args.image
+        if args.datalist:
+            first = [p.strip() for p in open(args.datalist) if p.strip()]
+            calib_image = first[0] if first else ""
+        params = quantize_from_image(model, params, calib_image, preproc,
+                                     args.imgsize)
+        engine_kwargs = {"fuse": False}
+
     cfg = SFinderConfig(
         image_path=args.image,
         image_xmin=args.xmin, image_xmax=args.xmax,
@@ -340,7 +388,7 @@ def main(argv=None) -> int:
             images = images[:args.maxnimgs]
         if args.split_img_in_tiles:
             return run_datalist_tiled(model, params, cfg, images,
-                                      preproc, mesh)
+                                      preproc, mesh, engine_kwargs)
         # plots / crop windows / explicit outfile overrides need the full
         # per-image Analyzer path; plain catalog runs take the batched
         # compile-once path
@@ -349,10 +397,13 @@ def main(argv=None) -> int:
                           or (args.xmin >= 0 and args.xmax > 0
                               and args.ymin >= 0 and args.ymax > 0))
         if needs_analyzer:
-            return run_datalist_serial(model, params, cfg, images, preproc)
-        return run_datalist_batched(model, params, cfg, images, preproc)
+            return run_datalist_serial(model, params, cfg, images, preproc,
+                                       engine_kwargs)
+        return run_datalist_batched(model, params, cfg, images, preproc,
+                                    engine_kwargs)
 
-    sf = SFinder(model, params, cfg, preprocessor=preproc, mesh=mesh)
+    sf = SFinder(model, params, cfg, preprocessor=preproc, mesh=mesh,
+                 engine_kwargs=engine_kwargs)
     rc = sf.run_tiled() if args.split_img_in_tiles else sf.run()
     return 0 if rc == 0 else 1
 

@@ -90,3 +90,24 @@ def test_export_cli(rng, tmp_path, monkeypatch):
     det = load_detector(out.read_bytes())
     res = det(jnp.asarray(_tiles(rng, b=1, h=32, w=32)))
     assert res[0].shape == (1, 5, 4)
+
+
+def test_export_quantized_detector(rng):
+    """int8 PTQ params export/serve through the same artifact path."""
+    from caesar_yolo_tpu.models.quant import (calibration_inputs_from_tiles,
+                                              quantize_model)
+
+    model = build_model("yolov8n", num_classes=5)
+    params = init_params(model, 0)
+    pipe = build_preprocessor(zscale_stretch=True, normalize_minmax=True)
+    tiles = _tiles(rng, b=1, h=32, w=32)
+    calib = calibration_inputs_from_tiles(tiles, preprocessor=pipe,
+                                          img_size=32)
+    qparams = quantize_model(model, params, calib)
+    blob = export_detector(model, qparams, preprocessor=pipe,
+                           tile_shape=(32, 32, 1), batch=1, img_size=32,
+                           score_thr=0.01, max_det=5, fuse=False)
+    det = load_detector(blob)
+    out = det(jnp.asarray(tiles))
+    assert out[0].shape == (1, 5, 4)
+    assert np.isfinite(np.asarray(out[0], np.float32)).all()

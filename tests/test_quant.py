@@ -123,3 +123,30 @@ def test_quantized_detection_quality(rng):
     assert (iou.max(axis=1) >= 0.85).all(), f"boxes moved: {iou}"
     np.testing.assert_array_equal(np.sort(cf), np.sort(cq))
     assert np.abs(np.sort(sf) - np.sort(sq)).max() < 0.1
+
+
+@pytest.mark.skipif(not os.path.exists(FIXTURE),
+                    reason="trained fixture weights not built")
+def test_cli_int8_detects_sources(tmp_path, monkeypatch, rng):
+    """--int8 end to end: tiled detection on a synthetic mosaic finds
+    the planted sources through the quantized engine."""
+    from caesar_yolo_tpu.cli.run import main
+    from caesar_yolo_tpu.utils.fits import write_fits
+
+    img = rng.normal(0.0, 0.08, (192, 192)).astype(np.float32)
+    yy, xx_ = np.mgrid[0:192, 0:192]
+    for cx, cy in [(48, 48), (144, 144)]:
+        img += 6.0 * np.exp(-((xx_ - cx) ** 2 + (yy - cy) ** 2)
+                            / (2 * 4.5 ** 2)).astype(np.float32)
+    path = tmp_path / "m.fits"
+    write_fits(img, str(path))
+    monkeypatch.chdir(tmp_path)
+    rc = main([f"--image={path}", f"--weights={FIXTURE}", "--int8",
+               "--imgsize=96", "--scoreThr=0.3",
+               "--preprocessing", "--normalize_minmax",
+               "--split_img_in_tiles", "--tile_xsize=96", "--tile_ysize=96",
+               "--tile_xstep=0.75", "--tile_ystep=0.75", "--batch_size=8"])
+    assert rc == 0
+    import json
+    cat = json.loads((tmp_path / "catalog_m.json").read_text())
+    assert len(cat["sources"]) >= 2
