@@ -135,7 +135,64 @@ def bench_eval():
     }))
 
 
+def bench_train():
+    """Training mode (BENCH_MODE=train): full train-step throughput —
+    forward + TAL assignment + CIoU/DFL loss + backward + SGD/EMA update
+    at the reference recipe shape (640px, batch 16;
+    reference macros/run_train.py:20-45).  Reports imgs/sec;
+    vs_baseline uses the same 500/s tile target (one 640px training
+    image ~ one tile of forward work x3 for the backward pass)."""
+    import jax
+    import jax.numpy as jnp
+    from caesar_yolo_tpu.models.yolo import build_model, init_params
+    from caesar_yolo_tpu.train import TrainConfig, Trainer
+
+    model_name = os.environ.get("BENCH_MODEL", "yolov8n")
+    img_size = int(os.environ.get("BENCH_IMGSZ", "640"))
+    batch = int(os.environ.get("BENCH_BATCH", "16"))
+    iters = int(os.environ.get("BENCH_ITERS", "20"))
+
+    model = build_model(model_name, num_classes=5)
+    params = init_params(model, seed=0)
+    cfg = TrainConfig(epochs=1, batch_size=batch, img_size=img_size,
+                      max_gt=4, warmup_epochs=0.0)
+    trainer = Trainer(model, params, cfg, steps_per_epoch=iters)
+
+    rng = np.random.default_rng(0)
+    imgs = jax.device_put(jnp.asarray(
+        rng.random((batch, img_size, img_size, 3), dtype=np.float32)))
+    labels = jnp.ones((batch, 4), jnp.int32)
+    c = img_size / 2.0
+    gt = jnp.tile(jnp.asarray([[c - 40, c - 40, c + 40, c + 40],
+                               [60.0, 60.0, 140.0, 140.0],
+                               [0.0, 0.0, 0.0, 0.0],
+                               [0.0, 0.0, 0.0, 0.0]], jnp.float32),
+                  (batch, 1, 1))
+    mask = jnp.tile(jnp.asarray([True, True, False, False]), (batch, 1))
+
+    loss, _ = trainer.train_step(imgs, labels, gt, mask)   # compile
+    _ = float(np.asarray(loss))
+    t0 = time.perf_counter()
+    for _i in range(iters):
+        loss, _ = trainer.train_step(imgs, labels, gt, mask)
+    _ = float(np.asarray(loss))                            # sync the chain
+    dt = time.perf_counter() - t0
+    rate = batch * iters / dt
+    print(json.dumps({
+        "metric": f"{model_name}@{img_size} train imgs/sec/chip",
+        "value": round(rate, 2),
+        "unit": "imgs/s",
+        "vs_baseline": round(rate / 500.0, 3),
+    }))
+
+
 def main():
+    # persistent XLA compile cache: repeat bench invocations (and the
+    # driver's round-end run) skip the multi-minute large-model compiles
+    from caesar_yolo_tpu.cli.run import enable_compilation_cache
+    enable_compilation_cache()
+    if os.environ.get("BENCH_MODE") == "train":
+        return bench_train()
     if os.environ.get("BENCH_MODE") == "mosaic":
         return bench_mosaic()
     if os.environ.get("BENCH_MODE") == "eval":
