@@ -337,3 +337,56 @@ class TestProjectedWcs:
         r3 = w3.pixel_to_world(300.0, 40.0)
         r4 = w4.pixel_to_world(300.0, 40.0)
         np.testing.assert_allclose(r3, r4, atol=1e-12)
+
+
+class TestCorruptInputs:
+    """Robustness probes: malformed/truncated inputs must fail cleanly
+    (None per the reference error convention), never crash or return
+    garbage-shaped arrays."""
+
+    def test_not_a_fits_file(self, tmp_path):
+        p = tmp_path / "junk.fits"
+        p.write_bytes(b"this is not a FITS file at all" * 100)
+        from caesar_yolo_tpu.utils.fits import read_fits
+        assert read_fits(str(p)) is None
+
+    def test_empty_file(self, tmp_path):
+        p = tmp_path / "empty.fits"
+        p.write_bytes(b"")
+        from caesar_yolo_tpu.utils.fits import read_fits, read_fits_crop
+        assert read_fits(str(p)) is None
+        assert read_fits_crop(str(p), 0, 4, 0, 4) is None
+
+    def test_truncated_data_section(self, tmp_path, rng):
+        from caesar_yolo_tpu.utils.fits import read_fits, write_fits
+        p = tmp_path / "trunc.fits"
+        write_fits(rng.random((64, 64), np.float32), str(p))
+        blob = p.read_bytes()
+        p.write_bytes(blob[: len(blob) // 2])
+        assert read_fits(str(p)) is None
+
+    def test_truncated_header(self, tmp_path, rng):
+        from caesar_yolo_tpu.utils.fits import read_fits, write_fits
+        p = tmp_path / "th.fits"
+        write_fits(rng.random((8, 8), np.float32), str(p))
+        p.write_bytes(p.read_bytes()[:100])  # mid-header cut
+        assert read_fits(str(p)) is None
+
+    def test_missing_file(self, tmp_path):
+        from caesar_yolo_tpu.utils.fits import read_fits
+        assert read_fits(str(tmp_path / "nope.fits")) is None
+
+    def test_crop_truncated_file_native_and_numpy(self, tmp_path, rng):
+        """The windowed readers (numpy + C++ batch reader) on a file cut
+        mid-data: clean failure, no OOB reads."""
+        from caesar_yolo_tpu.utils.fits import read_fits_crop, write_fits
+        p = tmp_path / "tc.fits"
+        write_fits(rng.random((64, 64), np.float32), str(p))
+        blob = p.read_bytes()
+        p.write_bytes(blob[: 2880 + 64 * 16 * 4])  # header + 16 rows
+        # window fully inside the surviving rows still reads...
+        res = read_fits_crop(str(p), 0, 8, 0, 8)
+        # ...or fails cleanly; a window beyond the cut must not succeed
+        beyond = read_fits_crop(str(p), 0, 8, 40, 60)
+        assert beyond is None or res is not None
+        assert beyond is None
