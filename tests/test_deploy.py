@@ -111,3 +111,68 @@ def test_export_quantized_detector(rng):
     out = det(jnp.asarray(tiles))
     assert out[0].shape == (1, 5, 4)
     assert np.isfinite(np.asarray(out[0], np.float32)).all()
+
+
+def test_http_serving_daemon(rng, tmp_path):
+    """cli.serve: export -> serve over HTTP -> detections match the live
+    engine (raw-bytes and .npy request formats, health + error paths)."""
+    import io
+    import json as _json
+    import threading
+    import urllib.request
+
+    from caesar_yolo_tpu.cli.serve import build_server
+    from caesar_yolo_tpu.ops import build_preprocessor
+
+    model = build_model("yolov8n", num_classes=5)
+    params = init_params(model, 0)
+    pipe = build_preprocessor(zscale_stretch=True, normalize_minmax=True)
+    tiles = _tiles(rng, b=2, h=48, w=48)
+    blob = export_detector(model, params, preprocessor=pipe,
+                           tile_shape=(48, 48, 1), batch=2, img_size=64,
+                           score_thr=0.01, max_det=10)
+    art = tmp_path / "det.cyx"
+    art.write_bytes(blob)
+
+    server = build_server(str(art), "127.0.0.1", 0)  # ephemeral port
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{port}"
+        health = _json.load(urllib.request.urlopen(f"{base}/healthz"))
+        assert health["input_shape"] == [2, 48, 48, 1]
+
+        # raw f32 request
+        req = urllib.request.Request(f"{base}/detect",
+                                     data=tiles.astype("<f4").tobytes())
+        resp = _json.load(urllib.request.urlopen(req))
+        assert len(resp["detections"]) == 2
+        assert resp["tile_ok"] == [True, True]
+
+        # .npy request gives the same answer
+        buf = io.BytesIO()
+        np.save(buf, tiles)
+        req2 = urllib.request.Request(f"{base}/detect", data=buf.getvalue())
+        resp2 = _json.load(urllib.request.urlopen(req2))
+        assert resp2 == resp
+
+        # parity vs the in-process artifact call
+        det = load_detector(blob)
+        ref = det(jnp.asarray(tiles))
+        v0 = np.asarray(ref[3][0])
+        got_boxes = np.asarray(resp["detections"][0]["boxes"],
+                               np.float32).reshape(-1, 4)
+        np.testing.assert_allclose(got_boxes, np.asarray(ref[0][0])[v0],
+                                   atol=1e-4)
+
+        # wrong payload size -> 400
+        bad = urllib.request.Request(f"{base}/detect", data=b"123")
+        try:
+            urllib.request.urlopen(bad)
+            assert False, "expected HTTP 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        server.shutdown()
+        server.server_close()
