@@ -151,7 +151,15 @@ class Conv:
             amax = float(jnp.max(jnp.abs(x.astype(jnp.float32))))
             _QUANT_CALIB[id(self)] = max(_QUANT_CALIB.get(id(self), 0.0),
                                          amax)
-        y = _conv2d(x, params["w"].astype(dtype), self.s, self.pad, self.groups)
+        # Training in bf16: emit the conv result in the compute dtype
+        # instead of preferred f32 — the MXU still accumulates partial
+        # products in f32 internally, and a mixed-dtype (f32 cotangent x
+        # bf16 operand) transpose conv is not differentiable-lowerable.
+        # Inference keeps the f32 output for bit-stable BN/epilogue math.
+        acc = dtype if (_TRAIN_MODE and dtype == jnp.bfloat16) \
+            else jnp.float32
+        y = _conv2d(x, params["w"].astype(dtype), self.s, self.pad,
+                    self.groups, acc_type=acc)
         if "bn" in params:
             bn = params["bn"]
             if _TRAIN_MODE:
@@ -196,8 +204,10 @@ class Conv2dRaw:
 
     def __call__(self, params, x):
         dtype = x.dtype
-        y = _conv2d(x, params["w"].astype(dtype), 1, self.pad)
-        return (y + params["b"]).astype(dtype)
+        acc = dtype if (_TRAIN_MODE and dtype == jnp.bfloat16) \
+            else jnp.float32
+        y = _conv2d(x, params["w"].astype(dtype), 1, self.pad, acc_type=acc)
+        return (y + params["b"].astype(y.dtype)).astype(dtype)
 
 
 class Bottleneck:

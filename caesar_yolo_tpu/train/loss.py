@@ -71,15 +71,22 @@ def dfl_loss(pred_dist: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
 
     pred_dist: [..., 4, REG_MAX] logits; target: [..., 4] distances in
     [0, REG_MAX-1).  Returns [...] (mean over the 4 sides).
+
+    The two-bin cross-entropy selects logp at floor/ceil of the target;
+    it is computed as a one-hot weighted sum over the bin axis instead
+    of take_along_axis: a per-element gather along a 16-wide axis lowers
+    catastrophically on TPU (measured 17 ms/step at B=16 — 4x the whole
+    assigner), while the select-sum is exact (adds only 0-weight terms)
+    and costs ~0.5 ms.
     """
     tl = jnp.floor(target).astype(jnp.int32)
     tr = tl + 1
     wl = tr.astype(target.dtype) - target
     wr = 1.0 - wl
     logp = jax.nn.log_softmax(pred_dist, axis=-1)
-    loss_l = -jnp.take_along_axis(logp, tl[..., None], axis=-1)[..., 0]
-    loss_r = -jnp.take_along_axis(logp, tr[..., None], axis=-1)[..., 0]
-    return (loss_l * wl + loss_r * wr).mean(axis=-1)
+    w = (wl[..., None] * jax.nn.one_hot(tl, REG_MAX, dtype=logp.dtype)
+         + wr[..., None] * jax.nn.one_hot(tr, REG_MAX, dtype=logp.dtype))
+    return -(logp * w).sum(axis=-1).mean(axis=-1)
 
 
 def task_aligned_assigner(pd_scores, pd_bboxes, anchors, gt_labels,

@@ -50,6 +50,10 @@ class TrainConfig:
     ema_tau: float = 2000.0
     grad_clip_norm: float = 10.0
     max_gt: int = 64
+    # Mixed precision (the ultralytics recipe trains under AMP): model
+    # compute in bf16 on the MXU, master params/grads/optimizer state and
+    # all loss math in f32.  "float32" opts out (CPU tests, debugging).
+    compute_dtype: str = "bfloat16"
 
 
 def _is_decayed(path) -> bool:
@@ -126,9 +130,11 @@ class Trainer:
         cfg = self.cfg
         model = self.model
 
+        compute_dtype = jnp.dtype(cfg.compute_dtype)
+
         def loss_fn(params, images, gt_labels, gt_bboxes, mask_gt):
             with layers.train_mode():
-                raw = model(params, images)
+                raw = model(params, images.astype(compute_dtype))
             total, parts = detection_loss(
                 raw, gt_labels, gt_bboxes, mask_gt, img_size=cfg.img_size,
                 box_gain=cfg.box_gain, cls_gain=cfg.cls_gain,
