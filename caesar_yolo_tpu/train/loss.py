@@ -113,18 +113,34 @@ def task_aligned_assigner(pd_scores, pd_bboxes, anchors, gt_labels,
     # pairwise CIoU(gt, pred): [B, M, A]
     overlaps = jnp.clip(ciou(gt_bboxes[:, :, None, :],
                              pd_bboxes[:, None, :, :]), 0)
-    # classification score of each pred at each gt's label: [B, M, A]
+    # classification score of each pred at each gt's label: [B, M, A].
+    # One-hot contraction, NOT take_along_axis: per-element gathers
+    # along short axes lower catastrophically on TPU (see dfl_loss).
     lbl = jnp.clip(gt_labels, 0, NC - 1).astype(jnp.int32)
-    bbox_scores = jnp.take_along_axis(
-        pd_scores, lbl[:, None, :], axis=2).transpose(0, 2, 1)
+    lbl_oh = jax.nn.one_hot(lbl, NC, dtype=pd_scores.dtype)   # [B, M, NC]
+    bbox_scores = jnp.einsum("bac,bmc->bma", pd_scores, lbl_oh)
 
     align = (bbox_scores ** alpha) * (overlaps ** beta)
     valid = mask_in_gts & mask_gt[:, :, None]
     align_masked = jnp.where(valid, align, 0.0)
 
-    # top-k per gt over anchors
+    # top-k per gt over anchors.  Only the k-th value is needed (the
+    # selection below is `>= kth`), and lax.top_k lowers to a full
+    # per-row sort on TPU (~9 ms for [16, 64, 8400] at k=10); k
+    # max-mask rounds cost ~1 ms.  Exact for distinct values; an exact
+    # tie group is masked in one round, which can only WIDEN the
+    # >=-kth selection that already admits every tie.
     k = min(topk, A)
-    kth = jax.lax.top_k(align_masked, k)[0][..., -1:]
+
+    def _mask_round(_, carry):
+        cur, _kth = carry
+        m = jnp.max(cur, axis=-1, keepdims=True)
+        return jnp.where(cur >= m, -jnp.inf, cur), m
+
+    _, kth = jax.lax.fori_loop(
+        0, k, _mask_round,
+        (align_masked, jnp.full(align_masked.shape[:-1] + (1,), jnp.inf,
+                                align_masked.dtype)))
     mask_topk = (align_masked >= kth) & (align_masked > eps)
     mask_pos = mask_topk & valid
 
@@ -135,13 +151,14 @@ def task_aligned_assigner(pd_scores, pd_bboxes, anchors, gt_labels,
     assigned_gt = jnp.argmax(mask_pos, axis=1)  # first assigned gt
     target_gt_idx = jnp.where(conflict, max_overlap_gt, assigned_gt)  # [B, A]
     fg_mask = fg_counts > 0
-    mask_pos = (jax.nn.one_hot(target_gt_idx, M, dtype=jnp.bool_)
-                .transpose(0, 2, 1)) & mask_pos
+    gt_oh = jax.nn.one_hot(target_gt_idx, M, dtype=jnp.float32)  # [B, A, M]
+    mask_pos = (gt_oh > 0.5).transpose(0, 2, 1) & mask_pos
 
-    # gather targets per anchor
-    target_labels = jnp.take_along_axis(lbl, target_gt_idx, axis=1)
-    target_bboxes = jnp.take_along_axis(gt_bboxes, target_gt_idx[..., None],
-                                        axis=1)
+    # per-anchor targets via the same one-hot (exact: selects one row,
+    # the rest contribute 0-weight terms)
+    target_labels = jnp.einsum(
+        "bam,bm->ba", gt_oh, lbl.astype(jnp.float32)).astype(jnp.int32)
+    target_bboxes = jnp.einsum("bam,bmf->baf", gt_oh, gt_bboxes)
 
     # normalized soft target scores
     align_pos = jnp.where(mask_pos, align, 0.0)
