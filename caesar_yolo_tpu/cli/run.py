@@ -293,8 +293,11 @@ def run_datalist_batched(model, params, cfg, images, preproc,
             continue
         boxes, scores, cls, ok = det
         if not ok:
+            # match the per-image Analyzer path (and the reference's
+            # failed-read behavior): no outputs written, nonzero exit
             logger.warning("Image %s degenerate, no prediction", path)
-            boxes, scores, cls = boxes[:0], scores[:0], cls[:0]
+            status = 1
+            continue
         boxes, scores, cls = merge_detections(
             boxes, scores, cls, soft_thr=cfg.merge_overlap_iou_thr_soft,
             hard_thr=cfg.merge_overlap_iou_thr_hard)

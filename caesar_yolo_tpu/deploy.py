@@ -40,10 +40,9 @@ import jax
 import jax.numpy as jnp
 from jax import export as jax_export
 
-from caesar_yolo_tpu.detect.letterbox import letterbox_batch, unletterbox_boxes
-from caesar_yolo_tpu.detect.nms import DEFAULT_PRE_NMS, nms_batch
-from caesar_yolo_tpu.models.yolo import YOLO, decode_dfl
-from caesar_yolo_tpu.parallel.engine import fuse_model_params
+from caesar_yolo_tpu.detect.nms import DEFAULT_PRE_NMS
+from caesar_yolo_tpu.models.yolo import YOLO
+from caesar_yolo_tpu.parallel.engine import fuse_model_params, make_tile_step
 
 
 def build_serving_step(model: YOLO, params, *, preprocessor=None,
@@ -53,38 +52,20 @@ def build_serving_step(model: YOLO, params, *, preprocessor=None,
                        compute_dtype=jnp.bfloat16, fuse: bool = True):
     """The TileEngine step closed over fused weights: tiles[B, H, W, C]
     -> (boxes[B, max_det, 4] in tile coords, scores, cls, valid,
-    tile_ok[B], n_dropped[B]).  Same per-tile semantics as
-    TileEngine._build (parallel/engine.py) — kept in sync by
-    tests/test_deploy.py which diffs the two outputs."""
+    tile_ok[B], n_dropped[B]).  LITERALLY the engine's step — both call
+    parallel.engine.make_tile_step, so serving and the live engine
+    cannot drift (parity additionally pinned by tests/test_deploy.py)."""
     if fuse:
         params = fuse_model_params(model, params)
-    nchan = model.in_channels
+    step = make_tile_step(
+        model, preprocessor=preprocessor, img_size=img_size,
+        score_thr=score_thr, iou_thr=iou_thr, max_det=max_det,
+        pre_nms=pre_nms, compute_dtype=compute_dtype)
 
-    def step(tiles):
-        h, w = tiles.shape[1], tiles.shape[2]
-        x = tiles.astype(jnp.float32)
-        if x.shape[-1] == 1 and nchan > 1:
-            x = jnp.repeat(x, nchan, axis=-1)
-        if preprocessor is not None:
-            imgs, ok = jax.vmap(preprocessor.apply)(x)
-        else:
-            imgs, ok = x, jnp.ones((x.shape[0],), bool)
-        if imgs.shape[-1] == 1 and nchan > 1:
-            imgs = jnp.repeat(imgs, nchan, axis=-1)
-        cmin = jnp.min(imgs, axis=(1, 2))
-        cmax = jnp.max(imgs, axis=(1, 2))
-        tile_ok = ok & jnp.all(cmax > cmin, axis=-1)
-        xx = letterbox_batch(imgs, img_size).astype(compute_dtype)
-        raw = model(params, xx)
-        boxes, scores = decode_dfl(raw, img_size)
-        bsel, ssel, csel, vsel, ndrop = nms_batch(
-            boxes, scores, conf_thr=score_thr, iou_thr=iou_thr,
-            max_det=max_det, pre_nms=pre_nms)
-        bsel = unletterbox_boxes(bsel, h, w, img_size)
-        vsel = vsel & tile_ok[:, None]
-        return bsel, ssel, csel, vsel, tile_ok, ndrop
+    def serve(tiles):
+        return step(params, tiles)
 
-    return step
+    return serve
 
 
 def export_detector(model: YOLO, params, *, tile_shape, batch: int,
@@ -99,13 +80,18 @@ def export_detector(model: YOLO, params, *, tile_shape, batch: int,
     `platforms`: lowering targets, e.g. ("tpu", "cpu"); None = the
     current default backend only.
     """
+    from caesar_yolo_tpu.detect.nms import portable_suppression
+
     step = build_serving_step(
         model, params, preprocessor=preprocessor, img_size=img_size,
         score_thr=score_thr, iou_thr=iou_thr, max_det=max_det,
         pre_nms=pre_nms, compute_dtype=compute_dtype, fuse=fuse)
     spec = jax.ShapeDtypeStruct((batch, *tile_shape), in_dtype)
-    exp = jax_export.export(jax.jit(step),
-                            platforms=platforms)(spec)
+    with portable_suppression():
+        # trace with the XLA suppression formulation even on a TPU host:
+        # a baked-in Mosaic kernel would not lower for other platforms
+        exp = jax_export.export(jax.jit(step),
+                                platforms=platforms)(spec)
     return bytes(exp.serialize())
 
 

@@ -200,11 +200,33 @@ def nms_batch(boxes: jnp.ndarray, scores: jnp.ndarray,
     return (*outs, n_dropped)
 
 
+# While True (deploy.py's portable_trace), _suppress_batch traces the
+# platform-neutral XLA sweeps even on a TPU host, so jax.export
+# artifacts never bake in the Mosaic kernel (which would not lower for
+# other platforms).
+_FORCE_PORTABLE = False
+
+
+class portable_suppression:
+    """Context manager forcing the XLA suppression formulation during
+    tracing (used by deploy.export_detector)."""
+
+    def __enter__(self):
+        global _FORCE_PORTABLE
+        self._prev = _FORCE_PORTABLE
+        _FORCE_PORTABLE = True
+
+    def __exit__(self, *exc):
+        global _FORCE_PORTABLE
+        _FORCE_PORTABLE = self._prev
+        return False
+
+
 def _suppress_batch(nms_boxes, top_valid, iou_thr):
     """Batched suppression: VMEM-resident Pallas kernel on TPU
     (detect/pallas_nms.py), the XLA sweeps everywhere else — numerically
     identical (parity pinned by tests/test_pallas_nms.py)."""
-    if jax.default_backend() == "tpu":
+    if jax.default_backend() == "tpu" and not _FORCE_PORTABLE:
         from caesar_yolo_tpu.detect.pallas_nms import nms_suppress
         return nms_suppress(jnp.transpose(nms_boxes, (0, 2, 1)),
                             top_valid, iou_thr)

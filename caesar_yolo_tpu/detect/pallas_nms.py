@@ -92,21 +92,29 @@ def nms_suppress(boxes_t: jnp.ndarray, valid: jnp.ndarray,
     """
     b, four, k = boxes_t.shape
     assert four == 4
+    # pad K up to the 128-lane tile (arbitrary --pre_nms values, or
+    # small img_size where A < pre_nms, give unaligned K that Mosaic
+    # cannot relayout); padded columns are valid=False so they never
+    # suppress and their alive bits are dropped on the way out
+    k_pad = -(-k // 128) * 128
+    if k_pad != k:
+        boxes_t = jnp.pad(boxes_t, ((0, 0), (0, 0), (0, k_pad - k)))
+        valid = jnp.pad(valid, ((0, 0), (0, k_pad - k)))
     # pad the tiny sublane dim to the f32 tile height
     boxes_p = jnp.concatenate(
-        [boxes_t, jnp.zeros((b, 4, k), boxes_t.dtype)], axis=1)
+        [boxes_t, jnp.zeros((b, 4, k_pad), boxes_t.dtype)], axis=1)
     valid_f = valid.astype(jnp.float32)[:, None, :]   # [B, 1, K]
 
-    box_spec = pl.BlockSpec((1, 8, k), lambda i: (i, 0, 0),
+    box_spec = pl.BlockSpec((1, 8, k_pad), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
-    vec_spec = pl.BlockSpec((1, 1, k), lambda i: (i, 0, 0),
+    vec_spec = pl.BlockSpec((1, 1, k_pad), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
     alive = pl.pallas_call(
         functools.partial(_suppress_kernel, iou_thr),
         grid=(b,),
         in_specs=[box_spec, vec_spec],
         out_specs=vec_spec,
-        out_shape=jax.ShapeDtypeStruct((b, 1, k), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, 1, k_pad), jnp.float32),
         interpret=INTERPRET,
     )(boxes_p, valid_f)
-    return alive[:, 0, :] > 0.5
+    return alive[:, 0, :k] > 0.5

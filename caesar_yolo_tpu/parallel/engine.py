@@ -31,6 +31,56 @@ from caesar_yolo_tpu.parallel.mesh import (
 )
 
 
+def make_tile_step(model: YOLO, *, preprocessor=None, img_size: int = 640,
+                   score_thr: float = 0.25, iou_thr: float = 0.5,
+                   max_det: int = 300, pre_nms: int = DEFAULT_PRE_NMS,
+                   compute_dtype=jnp.bfloat16):
+    """The per-tile detection step shared by TileEngine and the serving
+    export (deploy.build_serving_step): step(params, tiles[B, H, W, C])
+    -> (boxes in tile coords, scores, cls, valid, tile_ok, n_dropped).
+
+    Gray tiles replicate to the model's channel count BEFORE
+    preprocessing (reference evaluation.py:146-154); the whole batch
+    preprocessing stays one XLA-fused region (vmapped stage chain —
+    measured faster than the hand-fused Pallas kernel, see
+    ops/transforms.py Pipeline); the degenerate-channel guard
+    reproduces reference evaluation.py:168-176 (fixed to index
+    channels).
+    """
+    nchan = model.in_channels
+    S = img_size
+
+    def prep_batch(tiles):
+        x = tiles.astype(jnp.float32)
+        if x.shape[-1] == 1 and nchan > 1:
+            x = jnp.repeat(x, nchan, axis=-1)
+        if preprocessor is not None:
+            imgs, ok = jax.vmap(preprocessor.apply)(x)
+        else:
+            imgs, ok = x, jnp.ones((x.shape[0],), bool)
+        if imgs.shape[-1] == 1 and nchan > 1:
+            imgs = jnp.repeat(imgs, nchan, axis=-1)
+        cmin = jnp.min(imgs, axis=(1, 2))
+        cmax = jnp.max(imgs, axis=(1, 2))
+        ok = ok & jnp.all(cmax > cmin, axis=-1)
+        return imgs, ok
+
+    def step(params, tiles):
+        h, w = tiles.shape[1], tiles.shape[2]
+        imgs, tile_ok = prep_batch(tiles)
+        x = letterbox_batch(imgs, S).astype(compute_dtype)
+        raw = model(params, x)
+        boxes, scores = decode_dfl(raw, S)
+        bsel, ssel, csel, vsel, ndrop = nms_batch(
+            boxes, scores, conf_thr=score_thr, iou_thr=iou_thr,
+            max_det=max_det, pre_nms=pre_nms)
+        bsel = unletterbox_boxes(bsel, h, w, S)
+        vsel = vsel & tile_ok[:, None]
+        return bsel, ssel, csel, vsel, tile_ok, ndrop
+
+    return step
+
+
 def fuse_model_params(model: YOLO, params):
     """Fold BatchNorm into conv weights across the whole model."""
     layer_map = {spec.name: spec.module for spec in model.layers}
@@ -86,47 +136,11 @@ class TileEngine:
         self.params = params
 
     def _build(self, shape):
-        b, h, w, c = shape
-        S = self.img_size
-        nchan = self.model.in_channels
-        preproc = self.preprocessor
-
-        def prep_batch(tiles):
-            """[b, h, w, c] -> (imgs[b, h, w, nchan], ok[b]).
-
-            Gray tiles replicate to nchan BEFORE preprocessing (reference
-            evaluation.py:146-154).  The whole batch preprocessing stays
-            one XLA-fused region (vmapped stage chain — measured faster
-            than the hand-fused Pallas kernel, see ops/transforms.py
-            Pipeline).
-            """
-            x = tiles.astype(jnp.float32)
-            if x.shape[-1] == 1 and nchan > 1:
-                x = jnp.repeat(x, nchan, axis=-1)
-            if preproc is not None:
-                imgs, ok = jax.vmap(preproc.apply)(x)
-            else:
-                imgs, ok = x, jnp.ones((x.shape[0],), bool)
-            if imgs.shape[-1] == 1 and nchan > 1:
-                imgs = jnp.repeat(imgs, nchan, axis=-1)
-            # degenerate-channel guard (reference evaluation.py:168-176,
-            # fixed to index channels)
-            cmin = jnp.min(imgs, axis=(1, 2))
-            cmax = jnp.max(imgs, axis=(1, 2))
-            ok = ok & jnp.all(cmax > cmin, axis=-1)
-            return imgs, ok
-
-        def step(params, tiles):
-            imgs, tile_ok = prep_batch(tiles)
-            x = letterbox_batch(imgs, S).astype(self.compute_dtype)
-            raw = self.model(params, x)
-            boxes, scores = decode_dfl(raw, S)
-            bsel, ssel, csel, vsel, ndrop = nms_batch(
-                boxes, scores, conf_thr=self.score_thr, iou_thr=self.iou_thr,
-                max_det=self.max_det, pre_nms=self.pre_nms)
-            bsel = unletterbox_boxes(bsel, h, w, S)
-            vsel = vsel & tile_ok[:, None]
-            return bsel, ssel, csel, vsel, tile_ok, ndrop
+        step = make_tile_step(
+            self.model, preprocessor=self.preprocessor,
+            img_size=self.img_size, score_thr=self.score_thr,
+            iou_thr=self.iou_thr, max_det=self.max_det,
+            pre_nms=self.pre_nms, compute_dtype=self.compute_dtype)
 
         if self.mesh is not None:
             bsh = batch_sharding(self.mesh)

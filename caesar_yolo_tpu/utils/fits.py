@@ -412,16 +412,36 @@ class Wcs:
         try:
             cdelt = (float(header.get("CDELT1", 1.0)),
                      float(header.get("CDELT2", 1.0)))
-            if "CD1_1" in header:
-                m = ((float(header.get("CD1_1", 1.0)),
-                      float(header.get("CD1_2", 0.0))),
-                     (float(header.get("CD2_1", 0.0)),
-                      float(header.get("CD2_2", 1.0))))
-            elif "PC1_1" in header:
-                pc = ((float(header.get("PC1_1", 1.0)),
-                       float(header.get("PC1_2", 0.0))),
-                      (float(header.get("PC2_1", 0.0)),
-                       float(header.get("PC2_2", 1.0))))
+
+            def mat(prefix, sep, default_diag):
+                """2x2 from '<prefix>i<sep>j' keys, also accepting the
+                zero-padded AIPS convention (PC001001 / PC01_01) the
+                reference's own keyword handling covers."""
+                out = []
+                for i in (1, 2):
+                    row = []
+                    for j in (1, 2):
+                        names = (f"{prefix}{i}{sep}{j}",
+                                 f"{prefix}0{i}{sep}0{j}",
+                                 f"{prefix}00{i}00{j}")
+                        val = next((header[n] for n in names
+                                    if n in header), None)
+                        if val is None:
+                            val = default_diag if i == j else 0.0
+                        row.append(float(val))
+                    out.append(tuple(row))
+                return tuple(out)
+
+            def has(prefix, sep):
+                return any(k in header for k in
+                           (f"{prefix}1{sep}1", f"{prefix}01{sep}01",
+                            f"{prefix}001001"))
+
+            if has("CD", "_"):
+                m = mat("CD", "_", 1.0)
+            elif has("PC", "_") or has("PC", ""):
+                sep = "_" if has("PC", "_") else ""
+                pc = mat("PC", sep, 1.0)
                 m = ((cdelt[0] * pc[0][0], cdelt[0] * pc[0][1]),
                      (cdelt[1] * pc[1][0], cdelt[1] * pc[1][1]))
             elif "CROTA2" in header:

@@ -339,3 +339,30 @@ def test_cli_datalist_draw_falls_back_to_analyzer(tmp_path, monkeypatch):
     for i in range(2):
         assert (tmp_path / f"out_cut{i}.json").exists()
         assert (tmp_path / f"out_cut{i}.png").exists()
+
+
+def test_cli_datalist_batched_degenerate_image(tmp_path, monkeypatch):
+    """A degenerate (all-constant) image in a batched datalist run:
+    no catalog written for it, nonzero exit — matching the per-image
+    Analyzer path and the reference's failed-image behavior."""
+    from caesar_yolo_tpu.cli.run import main
+    from caesar_yolo_tpu.models.convert import save_params
+    from caesar_yolo_tpu.models.yolo import build_model, init_params
+
+    rng = np.random.default_rng(0)
+    good = tmp_path / "good.fits"
+    write_fits(rng.random((48, 48), np.float32), str(good))
+    bad = tmp_path / "bad.fits"
+    write_fits(np.zeros((48, 48), np.float32), str(bad))
+    (tmp_path / "list.txt").write_text(f"{good}\n{bad}\n")
+    m = build_model("yolov8n", num_classes=5)
+    w = tmp_path / "w.npz"
+    save_params(init_params(m, 0), str(w),
+                meta={"model": "yolov8n", "num_classes": 5})
+    monkeypatch.chdir(tmp_path)
+    rc = main([f"--weights={w}", f"--datalist={tmp_path / 'list.txt'}",
+               "--imgsize=64", "--scoreThr=0.001", "--batch_size=2",
+               "--preprocessing", "--normalize_minmax"])
+    assert rc == 1
+    assert (tmp_path / "out_good.json").exists()
+    assert not (tmp_path / "out_bad.json").exists()

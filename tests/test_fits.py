@@ -390,3 +390,25 @@ class TestCorruptInputs:
         beyond = read_fits_crop(str(p), 0, 8, 40, 60)
         assert beyond is None or res is not None
         assert beyond is None
+
+
+def test_wcs_zero_padded_pc_keys():
+    """AIPS-style zero-padded PC0i_0j / PC00i00j rotation keys must be
+    honored (reference's own keyword handling covers the convention)."""
+    from caesar_yolo_tpu.utils.fits import FitsHeader, Wcs
+
+    base = {"CRPIX1": 10.0, "CRPIX2": 12.0, "CRVAL1": 150.0,
+            "CRVAL2": -30.0, "CDELT1": -0.001, "CDELT2": 0.001,
+            "CTYPE1": "RA---SIN", "CTYPE2": "DEC--SIN"}
+    rot = {"1_1": 0.8, "1_2": -0.6, "2_1": 0.6, "2_2": 0.8}
+    std = dict(base, **{f"PC{k}": v for k, v in rot.items()})
+    padded = dict(base, **{f"PC0{k[0]}_0{k[2]}": v for k, v in rot.items()})
+    w_std = Wcs.from_header(FitsHeader(std))
+    w_pad = Wcs.from_header(FitsHeader(padded))
+    assert w_pad.m == w_std.m
+    ra1, dec1 = w_std.pixel_to_world(3.0, 7.0)
+    ra2, dec2 = w_pad.pixel_to_world(3.0, 7.0)
+    assert (ra1, dec1) == (ra2, dec2)
+    # and the no-rotation fallback is unchanged
+    w_plain = Wcs.from_header(FitsHeader(base))
+    assert w_plain.m == ((-0.001, 0.0), (0.0, 0.001))

@@ -70,3 +70,33 @@ def test_identical_boxes_keep_first():
     got = np.asarray(pk.nms_suppress(
         jnp.transpose(boxes, (0, 2, 1)), valid, 0.5))
     assert got.tolist() == [[True] + [False] * 5]
+
+
+@pytest.mark.parametrize("k", [189, 300])
+def test_kernel_unaligned_k_padding(rng, k):
+    """K not a multiple of the 128-lane tile (small img_size or custom
+    --pre_nms) must pad internally and still match the XLA sweep."""
+    boxes, valid = _random_candidates(rng, b=2, k=k, spread=50.0)
+    ref = jax.vmap(lambda nb, tv: nms_mod._suppress_xla(nb, tv, 0.5))(
+        boxes, valid)
+    got = pk.nms_suppress(jnp.transpose(boxes, (0, 2, 1)), valid, 0.5)
+    assert got.shape == (2, k)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_portable_suppression_forces_xla(rng, monkeypatch):
+    """deploy's portable_suppression must keep the Mosaic kernel out of
+    traces even when the backend reports tpu (export portability)."""
+    import sys
+
+    boxes, valid = _random_candidates(rng, b=1, k=32)
+    ref = jax.vmap(lambda nb, tv: nms_mod._suppress_xla(nb, tv, 0.5))(
+        boxes, valid)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    # make any attempt to import the pallas kernel explode
+    monkeypatch.setitem(sys.modules, "caesar_yolo_tpu.detect.pallas_nms",
+                        None)
+    with nms_mod.portable_suppression():
+        got = nms_mod._suppress_batch(boxes, valid, 0.5)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+    assert not nms_mod._FORCE_PORTABLE  # restored on exit
