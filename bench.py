@@ -152,6 +152,7 @@ def bench_train():
     batch = int(os.environ.get("BENCH_BATCH", "16"))
     iters = int(os.environ.get("BENCH_ITERS", "20"))
 
+    augment = os.environ.get("BENCH_AUG") == "1"
     model = build_model(model_name, num_classes=5)
     params = init_params(model, seed=0)
     cfg = TrainConfig(epochs=1, batch_size=batch, img_size=img_size,
@@ -170,16 +171,38 @@ def bench_train():
                   (batch, 1, 1))
     mask = jnp.tile(jnp.asarray([True, True, False, False]), (batch, 1))
 
-    loss, _ = trainer.train_step(imgs, labels, gt, mask)   # compile
-    _ = float(np.asarray(loss))
-    t0 = time.perf_counter()
-    for _i in range(iters):
-        loss, _ = trainer.train_step(imgs, labels, gt, mask)
-    _ = float(np.asarray(loss))                            # sync the chain
-    dt = time.perf_counter() - t0
+    if augment:
+        # the full reference recipe: device-side augmentation feeding
+        # the step (BENCH_AUG=1)
+        from caesar_yolo_tpu.train.augment import augment_batch
+
+        def one_step(key, imgs, gt, mask):
+            key, sub = jax.random.split(key)
+            ai, ab, am = augment_batch(sub, imgs, gt, mask)
+            loss, _ = trainer.train_step(ai, labels, ab, am)
+            return key, loss
+
+        key = jax.random.PRNGKey(0)
+        key, loss = one_step(key, imgs, gt, mask)          # compile
+        _ = float(np.asarray(loss))
+        t0 = time.perf_counter()
+        for _i in range(iters):
+            key, loss = one_step(key, imgs, gt, mask)
+        _ = float(np.asarray(loss))
+        dt = time.perf_counter() - t0
+    else:
+        loss, _ = trainer.train_step(imgs, labels, gt, mask)   # compile
+        _ = float(np.asarray(loss))
+        t0 = time.perf_counter()
+        for _i in range(iters):
+            loss, _ = trainer.train_step(imgs, labels, gt, mask)
+        _ = float(np.asarray(loss))                        # sync the chain
+        dt = time.perf_counter() - t0
     rate = batch * iters / dt
     print(json.dumps({
-        "metric": f"{model_name}@{img_size} train imgs/sec/chip",
+        "metric": (f"{model_name}@{img_size} train"
+                   + ("+augment" if augment else "")
+                   + " imgs/sec/chip"),
         "value": round(rate, 2),
         "unit": "imgs/s",
         "vs_baseline": round(rate / 500.0, 3),

@@ -117,13 +117,148 @@ def augment_sample(key, image, boxes, mask, *, degrees: float = 180.0,
     return img, new_boxes, mask
 
 
+# ---------------------------------------------------------------------------
+# Fast batched resampler (TPU): rot90 + shear/scale decomposition
+# ---------------------------------------------------------------------------
+#
+# The single-pass bilinear _affine_sample is a 4-neighbor arbitrary
+# gather — measured 269 ms for a [16, 640, 640, 3] batch on v5e (the
+# train step itself is ~30 ms: augmentation would dominate training
+# 9:1).  The decomposition below runs the same rotation+scale as
+#   exact rot90^q  ∘  x-shear  ∘  separable scale  ∘  y-shear
+# with |residual angle| <= 45 deg: shears are per-row constant
+# fractional shifts (VMEM lane rolls, ops/pallas_shift.py), scales are
+# [S, S] interpolation-matrix einsums on the MXU.  90-degree multiples
+# and the identity are bit-exact; arbitrary angles agree with the
+# one-pass sampler to ~1% of the value range (interpolation-scheme
+# difference, validated in tests/test_augment_fast.py).  Box math is
+# shared and exact.
+
+
+def _row_shift_batch(imgs, shifts, pad, pad_val):
+    """[B, H, W, C] rows shifted by [B, H] fractional amounts: Pallas
+    lane-roll kernel on TPU, the equivalent dynamic-slice formulation
+    elsewhere (identical results)."""
+    if jax.default_backend() == "tpu":
+        from caesar_yolo_tpu.ops.pallas_shift import \
+            fractional_row_shift_batch
+        return fractional_row_shift_batch(imgs, shifts, pad, pad_val)
+
+    def one(img, sh):
+        h, w, c = img.shape
+        padded = jnp.pad(img, ((0, 0), (pad, pad), (0, 0)),
+                         constant_values=pad_val)
+        k0 = jnp.clip(jnp.floor(sh).astype(jnp.int32), -pad, pad - 1)
+        f = (sh - jnp.floor(sh))[:, None, None]
+
+        def row(prow, k):
+            a = jax.lax.dynamic_slice(prow, (k + pad, 0), (w, c))
+            b = jax.lax.dynamic_slice(prow, (k + pad + 1, 0), (w, c))
+            return a, b
+
+        a, b = jax.vmap(row)(padded, k0)
+        return a * (1 - f) + b * f
+
+    return jax.vmap(one)(imgs, shifts)
+
+
+def _scale_mats(s, size, center):
+    """[B] scales -> [B, size, size] 1-D interp matrices for
+    src = s*(x - c) + c (rows: output, cols: source; OOB rows zero)."""
+    x = jnp.arange(size, dtype=jnp.float32)
+    src = s[:, None] * (x[None] - center) + center          # [B, size]
+    i0 = jnp.floor(src).astype(jnp.int32)
+    f = src - jnp.floor(src)
+    oh0 = jax.nn.one_hot(jnp.clip(i0, 0, size - 1), size)
+    oh1 = jax.nn.one_hot(jnp.clip(i0 + 1, 0, size - 1), size)
+    in0 = ((i0 >= 0) & (i0 < size)).astype(jnp.float32)[..., None]
+    in1 = ((i0 + 1 >= 0) & (i0 + 1 < size)).astype(jnp.float32)[..., None]
+    return (1 - f)[..., None] * oh0 * in0 + f[..., None] * oh1 * in1
+
+
+def _rot_scale_sample_batch(imgs, angles, scales, pad_val=0.0):
+    """Batched bilinear resample of square imgs [B, S, S, C] through the
+    centered inverse map (1/scale) R(-angle)."""
+    bsz, h, w, c = imgs.shape
+    cx = (w - 1) / 2.0
+    theta = -angles
+    sp = 1.0 / scales
+    q = jnp.round(theta / (jnp.pi / 2)).astype(jnp.int32)
+    r = theta - q.astype(jnp.float32) * (jnp.pi / 2)
+
+    def rot_k(im, k):
+        return jax.lax.switch(k % 4,
+                              [lambda m: m,
+                               lambda m: jnp.rot90(m, 1),
+                               lambda m: jnp.rot90(m, 2),
+                               lambda m: jnp.rot90(m, 3)],
+                              im)
+
+    out = jax.vmap(rot_k)(imgs, q)
+    # expanded working canvas: intermediate shear/scale passes need data
+    # the final crop maps back inside (at 45 deg the x-shear alone
+    # overhangs by ~S/4)
+    m = int(0.35 * max(h, w)) + 2
+    out = jnp.pad(out, ((0, 0), (m, m), (m, m), (0, 0)),
+                  constant_values=pad_val)
+    hp = h + 2 * m
+    cp = cx + m
+    pad = hp // 2 + 2
+    cosr = jnp.cos(r)
+    u = -jnp.tan(r)
+    ll = jnp.tan(r)
+    ys = jnp.arange(hp, dtype=jnp.float32) - cp
+    # x-shear (src_x = x + u*(y - c))
+    out = _row_shift_batch(out, u[:, None] * ys[None], pad, pad_val)
+    # separable scales (s1 = sp/cos along x, s2 = sp*cos along y)
+    Wx = _scale_mats(sp / cosr, hp, cp)
+    Wy = _scale_mats(sp * cosr, hp, cp)
+    out = jnp.einsum("box,bhxc->bhoc", Wx, out)
+    out = jnp.einsum("boy,byxc->boxc", Wy, out)
+    # y-shear (src_y = y + l*(x - c)) on the transposed layout
+    out = jnp.swapaxes(out, 1, 2)
+    out = _row_shift_batch(out, ll[:, None] * ys[None], pad, pad_val)
+    out = jnp.swapaxes(out, 1, 2)
+    return out[:, m:m + h, m:m + w]
+
+
 @partial(jax.jit, static_argnames=("degrees", "scale", "flipud", "fliplr"))
 def augment_batch(key, images, boxes, masks, *, degrees: float = 180.0,
                   scale: float = 0.89, flipud: float = 0.5,
                   fliplr: float = 0.5):
     """Batched augmentation: images [B, H, W, C], boxes [B, M, 4],
-    masks [B, M] -> same shapes."""
-    keys = jax.random.split(key, images.shape[0])
-    return jax.vmap(lambda k, i, b, m: augment_sample(
-        k, i, b, m, degrees=degrees, scale=scale, flipud=flipud,
-        fliplr=fliplr))(keys, images, boxes, masks)
+    masks [B, M] -> same shapes.
+
+    Square images take the fast rot90+shear/scale resampler (see above);
+    non-square fall back to the per-sample gather formulation."""
+    bsz, h, w, _ = images.shape
+    keys = jax.random.split(key, bsz)
+    if h != w:
+        return jax.vmap(lambda k, i, b, m: augment_sample(
+            k, i, b, m, degrees=degrees, scale=scale, flipud=flipud,
+            fliplr=fliplr))(keys, images, boxes, masks)
+
+    ks = jax.vmap(lambda k: jax.random.split(k, 4))(keys)
+    angles = jax.vmap(lambda k: jax.random.uniform(
+        k, (), minval=-degrees, maxval=degrees))(ks[:, 0]) * jnp.pi / 180.0
+    ss = jax.vmap(lambda k: jax.random.uniform(
+        k, (), minval=1.0 - scale, maxval=1.0 + scale))(ks[:, 1])
+    cx, cy = (w - 1) / 2.0, (h - 1) / 2.0
+
+    imgs = _rot_scale_sample_batch(images, angles, ss)
+    fwd = jax.vmap(lambda a, s: _rot_scale_mats(a, s, cx, cy)[0])(angles, ss)
+    new_boxes = jax.vmap(_transform_boxes)(boxes, fwd)
+    lim = jnp.asarray([w, h, w, h], dtype=new_boxes.dtype)
+    new_boxes = jnp.clip(new_boxes, 0.0, lim)
+    masks = masks & jax.vmap(_box_candidates)(boxes, new_boxes)
+
+    do_ud = jax.vmap(lambda k: jax.random.uniform(k) < flipud)(ks[:, 2])
+    do_lr = jax.vmap(lambda k: jax.random.uniform(k) < fliplr)(ks[:, 3])
+    imgs = jnp.where(do_ud[:, None, None, None], imgs[:, ::-1], imgs)
+    imgs = jnp.where(do_lr[:, None, None, None], imgs[:, :, ::-1], imgs)
+    x1, y1, x2, y2 = (new_boxes[..., i] for i in range(4))
+    ud = do_ud[:, None]
+    lr = do_lr[:, None]
+    x1f, x2f = jnp.where(lr, w - x2, x1), jnp.where(lr, w - x1, x2)
+    y1f, y2f = jnp.where(ud, h - y2, y1), jnp.where(ud, h - y1, y2)
+    return imgs, jnp.stack([x1f, y1f, x2f, y2f], axis=-1), masks

@@ -366,3 +366,16 @@ def test_cli_datalist_batched_degenerate_image(tmp_path, monkeypatch):
     assert rc == 1
     assert (tmp_path / "out_good.json").exists()
     assert not (tmp_path / "out_bad.json").exists()
+
+
+def test_train_cli_smoke_with_augment(tmp_path, monkeypatch):
+    """One tiny epoch WITH augmentation enabled: exercises the fast
+    rot90+shear/scale resampler inside the real training loop."""
+    _make_dataset(tmp_path, n=4, size=48)
+    monkeypatch.chdir(tmp_path)
+    from caesar_yolo_tpu.cli.train import main
+    rc = main([f"--data={tmp_path / 'images'}", "--model=yolov8n",
+               "--epochs=1", "--batch=2", "--imgsz=64", "--max_gt=8",
+               "--checkpoint_dir=ckpt"])
+    assert rc == 0
+    assert (tmp_path / "ckpt" / "last").exists()
