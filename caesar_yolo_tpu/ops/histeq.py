@@ -28,7 +28,16 @@ def equalize_hist(values: jnp.ndarray, nbins: int = 256) -> jnp.ndarray:
     hist = jnp.zeros((nbins,), jnp.float32).at[bin_idx].add(1.0)
     cdf = jnp.cumsum(hist)
     cdf = cdf / cdf[-1]
-    edges = vmin + jnp.arange(nbins + 1, dtype=jnp.float32) * (span / nbins)
-    centers = 0.5 * (edges[:-1] + edges[1:])
-    out = jnp.interp(flat, centers, cdf)
+    # Linear interpolation at the UNIFORM bin centers, located directly
+    # instead of jnp.interp: interp's searchsorted lowering hangs on the
+    # axon TPU backend at any size (the jnp.sort pathology class —
+    # verified: a B=4 132px batch hung the worker).  interp clamps to
+    # the end values outside [centers[0], centers[-1]], reproduced by
+    # the clips below.
+    step = span / nbins
+    c0 = vmin + 0.5 * step
+    pos = jnp.clip((flat - c0) / step, 0.0, float(nbins - 1))
+    i0 = jnp.clip(pos.astype(jnp.int32), 0, nbins - 2)
+    f = jnp.clip(pos - i0.astype(jnp.float32), 0.0, 1.0)
+    out = jnp.take(cdf, i0) * (1.0 - f) + jnp.take(cdf, i0 + 1) * f
     return out.reshape(values.shape)
