@@ -453,7 +453,12 @@ def zscale_transformer(contrasts: Sequence[float] = (0.25, 0.25, 0.25)) -> Trans
 def hist_equalizer(adaptive: bool = False, clip_limit: float = 0.03) -> Transform:
     """Per-channel histogram equalization (ref preprocessing.py:977-1012).
 
-    adaptive=True uses CLAHE (reference: skimage equalize_adapthist)."""
+    adaptive=True uses CLAHE (reference: skimage equalize_adapthist).
+
+    The batched path routes through Pallas kernels (ops/pallas_histeq):
+    both XLA formulations of the 256-bin histogram mis-lower on the TPU
+    backend (scatter hangs; the one-hot reduce materializes [N, 256] in
+    HBM — see the module docstring there for measurements)."""
     if adaptive:
         from caesar_yolo_tpu.ops.clahe import equalize_adapthist
 
@@ -468,6 +473,18 @@ def hist_equalizer(adaptive: bool = False, clip_limit: float = 0.03) -> Transfor
         out = jnp.stack(chans, axis=-1)
         return jnp.where(cond, out, 0.0), TRUE
 
+    if not adaptive:
+        from caesar_yolo_tpu.ops.pallas_histeq import equalize_hist_batch
+
+        def batch(data):                                  # [B, H, W, C]
+            cond = valid_mask(data)
+            chans = [equalize_hist_batch(data[..., i])
+                     for i in range(data.shape[-1])]
+            out = jnp.stack(chans, axis=-1)
+            return (jnp.where(cond, out, 0.0),
+                    jnp.ones(data.shape[0], bool))
+
+        fn.batch = batch
     return fn
 
 
@@ -519,6 +536,34 @@ def chan3_transformer(sigma_clip_baseline: float = 0.0,
         out = jnp.stack([c1, c2, c3], axis=-1)
         return out, v0 & v1 & v2 & v3
 
+    from caesar_yolo_tpu.ops.pallas_histeq import equalize_hist_batch
+
+    def batch(data):                                       # [B, H, W, C]
+        b = data.shape[0]
+        cur = data.shape[-1]
+        if cur < 3:
+            extra = jnp.repeat(data[..., cur - 1:cur], 3 - cur, axis=-1)
+            cube = jnp.concatenate([data, extra], axis=-1)
+        else:
+            cube = data[..., :3]
+
+        def one(chan2d, stages):
+            x = chan2d[:, :, None]
+            valid = TRUE
+            for s in stages:
+                x, v = s(x)
+                valid = valid & v
+            return x[:, :, 0], valid
+
+        c1, v1 = jax.vmap(lambda im: one(im, [clip1, zs]))(cube[..., 0])
+        c2, v2 = jax.vmap(lambda im: one(im, [clip2, zs]))(cube[..., 1])
+        raw3 = cube[..., 2]
+        cond3 = valid_mask(raw3)
+        c3 = jnp.where(cond3, equalize_hist_batch(raw3), 0.0)
+        out = jnp.stack([c1, c2, c3], axis=-1)
+        return out, v1 & v2 & jnp.ones(b, bool)
+
+    fn.batch = batch
     return fn
 
 
@@ -565,17 +610,28 @@ class Pipeline:
 
     def apply_batch(self, tiles, out_dtype=jnp.float32, use_fused=False):
         """[B, H, W, C] -> (out, valid[B]).  Pure — traceable inside
-        larger jitted programs.  The default path vmaps the stage chain
-        and lets XLA fuse it (measured faster than the hand-fused Pallas
-        kernel, see __init__); `use_fused=True` opts into the Pallas
-        variant when the stage pattern has one and input is
-        single-channel.  Math is f32 either way; `out_dtype` casts the
-        output."""
+        larger jitted programs.  The default path vmaps each stage and
+        lets XLA fuse the chain (measured faster than the hand-fused
+        Pallas kernel, see __init__) — EXCEPT stages that provide a
+        native batch implementation (`stage.batch`), which run as-is:
+        hist-eq-bearing stages must bypass vmap+XLA because their
+        histogram mis-lowers there (see ops/pallas_histeq).
+        `use_fused=True` opts into the whole-pipeline Pallas variant
+        when the stage pattern has one and input is single-channel.
+        Math is f32 either way; `out_dtype` casts the output."""
         if (use_fused and self.fused_batch is not None
                 and tiles.shape[-1] == 1):
             return self.fused_batch(tiles, out_dtype=out_dtype)
-        out, ok = jax.vmap(self.apply)(tiles)
-        return out.astype(out_dtype), ok
+        out = jnp.asarray(tiles, dtype=jnp.float32)
+        valid = jnp.ones(tiles.shape[0], bool)
+        for stage in self.stages:
+            batch_fn = getattr(stage, "batch", None)
+            if batch_fn is not None:
+                out, v = batch_fn(out)
+            else:
+                out, v = jax.vmap(stage)(out)
+            valid = valid & v
+        return out.astype(out_dtype), valid
 
     def batched(self):
         """jitted batch variant for [B, H, W, C] tile batches."""
