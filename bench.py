@@ -209,11 +209,75 @@ def bench_train():
     }))
 
 
+def bench_preproc():
+    """Preprocessing mode (BENCH_PREPROC={histeq,clahe,chan3,bkgsub,full}):
+    the astronomy transform chains on-chip, imgs/sec at BENCH_IMGSZ
+    (default 640) batch BENCH_BATCH (default 128).  `full` = sigma-clip
+    bkg subtract + chan3 + minmax (BASELINE config[1]; reference
+    scripts/run.py:272-302 + preprocessing.py:1020-1072).  Gaussian-noise
+    tiles are the WORST case for the Pallas hist-eq span-skip (real radio
+    tiles with a bright source run ~2.5x faster); set BENCH_RADIO=1 for
+    the realistic distribution."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from caesar_yolo_tpu.ops import build_preprocessor
+    from caesar_yolo_tpu.ops.transforms import Pipeline, hist_equalizer
+
+    mode = os.environ["BENCH_PREPROC"]
+    size = int(os.environ.get("BENCH_IMGSZ", "640"))
+    batch = int(os.environ.get("BENCH_BATCH", "128"))
+    iters = int(os.environ.get("BENCH_ITERS", "10"))
+
+    pipes = {
+        "histeq": lambda: Pipeline([hist_equalizer()]),
+        "clahe": lambda: Pipeline([hist_equalizer(adaptive=True)]),
+        "chan3": lambda: build_preprocessor(chan3_preproc=True),
+        "bkgsub": lambda: build_preprocessor(subtract_bkg=True),
+        "full": lambda: build_preprocessor(
+            subtract_bkg=True, chan3_preproc=True, normalize_minmax=True),
+    }
+    pipe = pipes[mode]()
+
+    rng = np.random.default_rng(0)
+    data = rng.standard_normal((batch, size, size, 1)).astype(np.float32)
+    if os.environ.get("BENCH_RADIO") == "1":
+        for i in range(batch):
+            cy, cx = rng.integers(20, size - 20, 2)
+            data[i, cy - 3:cy + 3, cx - 3:cx + 3] += 200.0
+
+    @jax.jit
+    def loop(tiles):
+        def body(_, x):
+            out, ok = pipe.apply_batch(x)
+            dep = (jnp.sum(out) + jnp.sum(ok.astype(jnp.float32))) * 0.0
+            return x + dep.astype(x.dtype)
+        return lax.fori_loop(0, iters, body, tiles)
+
+    tiles = jax.device_put(jnp.asarray(data))
+    out = loop(tiles)
+    _ = np.asarray(out[0, 0, 0, 0])
+    t0 = time.perf_counter()
+    out = loop(tiles)
+    _ = np.asarray(out[0, 0, 0, 0])
+    dt = time.perf_counter() - t0
+    rate = batch * iters / dt
+    print(json.dumps({
+        "metric": f"preproc-{mode}@{size} imgs/sec/chip",
+        "value": round(rate, 2),
+        "unit": "imgs/s",
+        "vs_baseline": round(rate / 500.0, 3),
+    }))
+
+
 def main():
     # persistent XLA compile cache: repeat bench invocations (and the
     # driver's round-end run) skip the multi-minute large-model compiles
     from caesar_yolo_tpu.cli.run import enable_compilation_cache
     enable_compilation_cache()
+    if os.environ.get("BENCH_PREPROC"):
+        return bench_preproc()
     if os.environ.get("BENCH_MODE") == "train":
         return bench_train()
     if os.environ.get("BENCH_MODE") == "mosaic":

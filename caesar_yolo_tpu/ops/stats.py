@@ -52,8 +52,21 @@ def _order_stat(flat, mask, k, lo0, hi0, steps=BISECT_STEPS,
                            thr[(branch - 2) - jnp.argmax(lt[::-1])], lo)
         return lo_new, hi_new
 
-    _, hi = lax.fori_loop(0, steps, body, (lo0, hi0))
-    return hi
+    lo, hi = lax.fori_loop(0, steps, body, (lo0, hi0))
+    # Exact pin: the k-th value lies in (lo, hi].  m1 = smallest member
+    # there is the (count(lo)+1)-th order stat; if its cumulative count
+    # reaches k it IS the k-th (everything smaller is <= lo, and
+    # count(lo) < k).  Otherwise try the next distinct member; beyond
+    # that fall back to hi (bracket width span/16^steps).  This makes
+    # the result exact in all but astronomically tight-duplicate cases —
+    # and, critically, makes independent implementations (the Pallas
+    # batch kernel) agree bit-for-bit instead of within bracket width.
+    inf = jnp.float32(jnp.inf)
+    in_bracket = mask & (flat > lo) & (flat <= hi)
+    m1 = jnp.min(jnp.where(in_bracket, flat, inf))
+    c1 = jnp.sum(mask & (flat <= m1))
+    m2 = jnp.min(jnp.where(in_bracket & (flat > m1), flat, inf))
+    return jnp.where(c1 >= k, m1, jnp.where(jnp.isfinite(m2), m2, hi))
 
 
 def masked_median(flat, mask, n, lo0, hi0):

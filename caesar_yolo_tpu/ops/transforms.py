@@ -71,6 +71,19 @@ def _per_channel(data, fn):
     return jnp.stack(outs, axis=-1), valid
 
 
+def _batch_per_channel(data, fn):
+    """Batched analog: fn(chan[B, H, W], i) -> (chan', valid[B])."""
+    outs, valids = [], []
+    for i in range(data.shape[-1]):
+        o, v = fn(data[..., i], i)
+        outs.append(o)
+        valids.append(v)
+    valid = valids[0]
+    for v in valids[1:]:
+        valid = valid & v
+    return jnp.stack(outs, axis=-1), valid
+
+
 # ---------------------------------------------------------------------------
 # Normalizers / scalers
 # ---------------------------------------------------------------------------
@@ -315,6 +328,29 @@ def bkg_subtractor(sigma: float = 3.0, use_mask_box: bool = False,
             return out, nvalid > 0
         return _per_channel(data, ch)
 
+    from caesar_yolo_tpu.ops.pallas_stats import sigma_clipped_stats_batch
+
+    def batch(data):                                       # [B, H, W, C]
+        b, h, w, _ = data.shape
+        if use_mask_box:
+            y0, y1, x0, x1 = center_box_slices(h, w, mask_fract)
+
+        def ch(x, i):                                      # [B, H, W]
+            if chid != -1 and i != chid:
+                return x, jnp.ones(b, bool)
+            cond = valid_mask(x)
+            bkgdata = x
+            if use_mask_box:
+                box = center_box_mask(h, w, mask_fract)
+                bkgdata = jnp.where(box[None, :, :], 0.0, bkgdata)
+            cond_bkg = valid_mask(bkgdata)
+            bkgval, _, _, _, _, nvalid = sigma_clipped_stats_batch(
+                bkgdata, cond_bkg, sigma, sigma)
+            out = jnp.where(cond, x - bkgval[:, None, None], 0.0)
+            return out, nvalid > 0
+        return _batch_per_channel(data, ch)
+
+    fn.batch = batch
     return fn
 
 
@@ -336,6 +372,25 @@ def sigma_clip_shifter(sigma: float = 1.0, chid: int = -1) -> Transform:
             return out, nvalid > 0
         return _per_channel(data, ch)
 
+    from caesar_yolo_tpu.ops.pallas_stats import sigma_clipped_stats_batch
+
+    def batch(data):                                       # [B, H, W, C]
+        b = data.shape[0]
+
+        def ch(x, i):                                      # [B, H, W]
+            if chid != -1 and i != chid:
+                return x, jnp.ones(b, bool)
+            cond = valid_mask(x)
+            clipmean, _, std, _, _, nvalid = sigma_clipped_stats_batch(
+                x, cond, sigma, sigma)
+            newzero = (clipmean + sigma * std)[:, None, None]
+            out = x - newzero
+            out = jnp.where(out < 0, 0.0, out)
+            out = jnp.where(cond, out, 0.0)
+            return out, nvalid > 0
+        return _batch_per_channel(data, ch)
+
+    fn.batch = batch
     return fn
 
 
@@ -354,6 +409,23 @@ def sigma_clipper(sigma_low: float = 10.0, sigma_up: float = 10.0,
             return out, jnp.sum(cond) > 0
         return _per_channel(data, ch)
 
+    from caesar_yolo_tpu.ops.pallas_stats import sigma_clip_bounds_batch
+
+    def batch(data):                                       # [B, H, W, C]
+        b = data.shape[0]
+
+        def ch(x, i):                                      # [B, H, W]
+            if chid != -1 and i != chid:
+                return x, jnp.ones(b, bool)
+            cond = valid_mask(x)
+            lower, upper = sigma_clip_bounds_batch(
+                x, cond, sigma_low, sigma_up)
+            out = jnp.clip(x, lower[:, None, None], upper[:, None, None])
+            out = jnp.where(cond, out, 0.0)
+            return out, jnp.sum(cond, axis=(1, 2)) > 0
+        return _batch_per_channel(data, ch)
+
+    fn.batch = batch
     return fn
 
 
@@ -547,16 +619,13 @@ def chan3_transformer(sigma_clip_baseline: float = 0.0,
         else:
             cube = data[..., :3]
 
-        def one(chan2d, stages):
-            x = chan2d[:, :, None]
-            valid = TRUE
-            for s in stages:
-                x, v = s(x)
-                valid = valid & v
-            return x[:, :, 0], valid
+        def one(chan_b, clip_stage):
+            x4, va = clip_stage.batch(chan_b[..., None])
+            x4, vb = jax.vmap(zs)(x4)
+            return x4[..., 0], va & vb
 
-        c1, v1 = jax.vmap(lambda im: one(im, [clip1, zs]))(cube[..., 0])
-        c2, v2 = jax.vmap(lambda im: one(im, [clip2, zs]))(cube[..., 1])
+        c1, v1 = one(cube[..., 0], clip1)
+        c2, v2 = one(cube[..., 1], clip2)
         raw3 = cube[..., 2]
         cond3 = valid_mask(raw3)
         c3 = jnp.where(cond3, equalize_hist_batch(raw3), 0.0)

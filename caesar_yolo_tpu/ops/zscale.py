@@ -96,6 +96,20 @@ def zscale_limits(values: jnp.ndarray, contrast: float = 0.25,
     vmax = jnp.minimum(vmax0, median + (npix - center) * slope)
     vmin = jnp.where(fitted_ok, vmin, vmin0)
     vmax = jnp.where(fitted_ok, vmax, vmax0)
+    # Degenerate-fit guard (deliberate divergence from astropy, in the
+    # spirit of its own min_npixels fallback): when the rejected-fit
+    # slope collapses to ~0 — e.g. >90% of pixels share one value after
+    # a sigma_low=0 clip clamps them to the (now exact) median — astropy
+    # returns vmin == vmax == median and the reference's normalization
+    # then divides by zero, NaN-filling the channel
+    # (reference preprocessing.py:964-971).  Fall back to the full
+    # sample range instead, like the failed-fit branch above.
+    # The threshold is relative to the sample range: a flat fit's slope
+    # lands at +/- a few float ulps of 0 depending on reduction order
+    # (TPU vs CPU summation), so an exact vmax > vmin test is unstable.
+    bad_interval = ~(vmax - vmin > (vmax0 - vmin0) * 1e-6)
+    vmin = jnp.where(bad_interval, vmin0, vmin)
+    vmax = jnp.where(bad_interval, vmax0, vmax)
     return vmin, vmax
 
 
