@@ -545,18 +545,24 @@ def hist_equalizer(adaptive: bool = False, clip_limit: float = 0.03) -> Transfor
         out = jnp.stack(chans, axis=-1)
         return jnp.where(cond, out, 0.0), TRUE
 
-    if not adaptive:
+    if adaptive:
+        from caesar_yolo_tpu.ops.pallas_clahe import equalize_adapthist_batch
+
+        def eq_batch(chans):
+            return equalize_adapthist_batch(chans, clip_limit=clip_limit)
+    else:
         from caesar_yolo_tpu.ops.pallas_histeq import equalize_hist_batch
 
-        def batch(data):                                  # [B, H, W, C]
-            cond = valid_mask(data)
-            chans = [equalize_hist_batch(data[..., i])
-                     for i in range(data.shape[-1])]
-            out = jnp.stack(chans, axis=-1)
-            return (jnp.where(cond, out, 0.0),
-                    jnp.ones(data.shape[0], bool))
+        eq_batch = equalize_hist_batch
 
-        fn.batch = batch
+    def batch(data):                                      # [B, H, W, C]
+        cond = valid_mask(data)
+        chans = [eq_batch(data[..., i]) for i in range(data.shape[-1])]
+        out = jnp.stack(chans, axis=-1)
+        return (jnp.where(cond, out, 0.0),
+                jnp.ones(data.shape[0], bool))
+
+    fn.batch = batch
     return fn
 
 
