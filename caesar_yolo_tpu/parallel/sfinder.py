@@ -102,9 +102,10 @@ class SFinderConfig:
     profile_dir: str = ""      # write a jax.profiler trace of the run
     resume: bool = False       # resume a crashed tiled run from the spool
     spool_path: str = ""       # per-tile result spool (default: auto)
-    # multi-host: max serialized per-host tile-result payload for the
-    # fixed-shape allgather (replaces the reference's pickled MPI
-    # send/recv, inference.py:954-978)
+    # multi-host: CHUNK size of the fixed-shape chunked allgather
+    # (replaces the reference's pickled MPI send/recv,
+    # inference.py:954-978).  Payloads larger than this take more
+    # gather rounds — never an error.
     gather_payload_bytes: int = 8 * 1024 * 1024
 
 
@@ -506,21 +507,35 @@ class SFinder:
 
         cap = self.config.gather_payload_bytes
         blob = json.dumps(local_results).encode()
-        if len(blob) > cap:
-            raise ValueError(
-                f"tile-result payload {len(blob)}B exceeds "
-                f"gather_payload_bytes={cap}; raise the config value")
-        buf = np.zeros((cap + 8,), np.uint8)
-        buf[:8] = np.frombuffer(
-            np.uint64(len(blob)).tobytes(), dtype=np.uint8)
-        buf[8:8 + len(blob)] = np.frombuffer(blob, np.uint8)
-        gathered = np.asarray(multihost_utils.process_allgather(buf))
-        gathered = gathered.reshape(_jax.process_count(), -1)
+        nproc = _jax.process_count()
+        # round 0: allgather each host's payload length.  Every host
+        # derives the SAME chunk count from the same lengths, so the
+        # chunked collective schedule below stays symmetric — a crowded
+        # catalog never aborts, it just takes more rounds (the reference
+        # pickles unbounded MPI send/recv, inference.py:954-978).
+        lens = np.asarray(multihost_utils.process_allgather(
+            np.asarray([len(blob)], np.uint64))).reshape(-1)
+        maxlen = int(lens.max())
+        if maxlen == 0:
+            return []
+        size = min(cap, maxlen)
+        nrounds = -(-maxlen // size)
+        rows = [np.zeros((int(lens[p]),), np.uint8) for p in range(nproc)]
+        for r in range(nrounds):
+            chunk = np.zeros((size,), np.uint8)
+            seg = blob[r * size:(r + 1) * size]
+            chunk[:len(seg)] = np.frombuffer(seg, np.uint8)
+            got = np.asarray(multihost_utils.process_allgather(
+                chunk)).reshape(nproc, size)
+            for p in range(nproc):
+                lo = r * size
+                hi = min(lo + size, int(lens[p]))
+                if hi > lo:
+                    rows[p][lo:hi] = got[p, :hi - lo]
         merged: list[dict] = []
-        for row in gathered:
-            n = int(np.frombuffer(row[:8].tobytes(), np.uint64)[0])
-            if n:
-                merged.extend(json.loads(row[8:8 + n].tobytes().decode()))
+        for row in rows:
+            if row.size:
+                merged.extend(json.loads(row.tobytes().decode()))
         merged.sort(key=lambda tr: tr["tileId"])
         return merged
 

@@ -39,7 +39,12 @@ def main():
         image_path=mosaic, image_xmin=-1, image_xmax=-1, image_ymin=-1,
         image_ymax=-1, img_size=96, score_thr=0.30,
         split_image_in_tiles=True, tile_xsize=96, tile_ysize=96,
-        tile_xstep=1.0, tile_ystep=1.0, batch_size=4)
+        tile_xstep=1.0, tile_ystep=1.0, batch_size=4,
+        # tiny chunk -> the payload (a few KB of sources per rank)
+        # exceeds it, forcing the multi-round chunked allgather path
+        # under real jax.distributed (crowded-catalog proof)
+        gather_payload_bytes=int(os.environ.get("CY_GATHER_CHUNK",
+                                                8 * 1024 * 1024)))
     sf = SFinder(model, params, cfg,
                  preprocessor=build_preprocessor(normalize_minmax=True),
                  engine_kwargs={"compute_dtype": jnp.float32})

@@ -48,7 +48,11 @@ def test_two_process_tiled_run(tmp_path):
 
     env = dict(os.environ,
                PYTHONPATH=REPO,
-               XLA_FLAGS="--xla_force_host_platform_device_count=2")
+               XLA_FLAGS="--xla_force_host_platform_device_count=2",
+               # 256B chunks << the few-KB tile-result payloads: the
+               # gather must run multiple rounds (chunked-allgather
+               # crowded-catalog proof; a hard cap used to abort here)
+               CY_GATHER_CHUNK="256")
     procs = [subprocess.Popen(
         [sys.executable, WORKER, str(pid), "2", "29517",
          str(tmp_path), mosaic, FIXTURE],

@@ -157,12 +157,18 @@ def test_gather_multihost_roundtrip(tiny_model, tmp_path):
               "ymax": 2}]
     out = sf._gather_multihost(local)
     assert out == local
-    # oversized payload is rejected loudly, not truncated
+    # payloads larger than the chunk size take more gather rounds —
+    # a crowded catalog must degrade to extra rounds, never abort
     big = [{"objs": ["x" * 8192], "tileId": 0, "workerId": 0,
             "neighborTileIds": [], "xmin": 0, "xmax": 1, "ymin": 0,
-            "ymax": 1}]
-    with pytest.raises(ValueError):
-        sf._gather_multihost(big)
+            "ymax": 1},
+           {"objs": ["y" * 8192], "tileId": 1, "workerId": 0,
+            "neighborTileIds": [], "xmin": 1, "xmax": 2, "ymin": 0,
+            "ymax": 2}]
+    out = sf._gather_multihost(big)
+    assert out == big
+    # empty everywhere
+    assert sf._gather_multihost([]) == []
 
 
 def test_streaming_io_bounded(tmp_path, tiny_model, monkeypatch):
