@@ -14,14 +14,14 @@ from caesar_yolo_tpu.outputs.catalog import CLASS_COLOR_MAP_DS9
 HEADER = "# Region file format: DS9 astropy/regions\nimage\n"
 
 
-def region_line(obj: dict) -> str:
+def region_line(obj: dict, color_map=CLASS_COLOR_MAP_DS9) -> str:
     """One DS9 box region from a detected-object dict (catalog schema)."""
     x1, x2, y1, y2 = obj["x1"], obj["x2"], obj["y1"], obj["y2"]
     dx, dy = x2 - x1, y2 - y1
     # DS9 pixel coordinates are 1-based (FITS origin): +1 shift on centers.
     xc = x1 + 0.5 * dx + 1.0
     yc = y1 + 0.5 * dy + 1.0
-    color = CLASS_COLOR_MAP_DS9.get(obj["class_name"], "white")
+    color = color_map.get(obj["class_name"], "white")
     tags = [obj["class_name"]]
     if obj.get("edge"):
         tags.append("BORDER")
@@ -32,9 +32,13 @@ def region_line(obj: dict) -> str:
             f"text={{{obj['name']}}} {tag_str}\n")
 
 
-def write_ds9_regions(objs, outfile: str):
-    """Write detected-object dicts as a DS9 .reg file (image coordsys)."""
+def write_ds9_regions(objs, outfile: str, color_map=CLASS_COLOR_MAP_DS9):
+    """Write detected-object dicts as a DS9 .reg file (image coordsys).
+
+    `color_map` selects the palette: the per-tile Analyzer map by
+    default, CLASS_COLOR_MAP_DS9_MOSAIC for stitched mosaic catalogs
+    (the reference uses distinct palettes at the two levels)."""
     with open(outfile, "w") as f:
         f.write(HEADER)
         for obj in objs:
-            f.write(region_line(obj))
+            f.write(region_line(obj, color_map))

@@ -38,6 +38,7 @@ from caesar_yolo_tpu.detect.analyzer import Analyzer, AnalyzerOutputs
 from caesar_yolo_tpu.detect.merge import merge_detections
 from caesar_yolo_tpu.detect.predictor import Predictor
 from caesar_yolo_tpu.outputs.catalog import (
+    CLASS_COLOR_MAP_DS9_MOSAIC,
     CLASS_NAMES,
     make_json_results,
     make_objects,
@@ -581,5 +582,8 @@ class SFinder:
             logger.info("Wrote catalog %s", out)
         if cfg.save_region:
             out = cfg.outfile_ds9 or f"ds9_{self.image_id}.reg"
-            write_ds9_regions(self.sources["sources"], out)
+            # mosaic-level palette differs from the per-tile Analyzer
+            # map (reference inference.py:334-342)
+            write_ds9_regions(self.sources["sources"], out,
+                              color_map=CLASS_COLOR_MAP_DS9_MOSAIC)
             logger.info("Wrote regions %s", out)
