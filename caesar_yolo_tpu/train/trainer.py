@@ -170,10 +170,21 @@ class Trainer:
     def train_step(self, images, gt_labels, gt_bboxes, mask_gt):
         """One optimizer step.  images [B, S, S, C] float32 in [0,1];
         gt_labels [B, M] int32; gt_bboxes [B, M, 4] xyxy px;
-        mask_gt [B, M] bool.  B must divide by the mesh size."""
-        self.state, loss, parts = self._step_fn(
-            self.state, jnp.asarray(images), jnp.asarray(gt_labels),
-            jnp.asarray(gt_bboxes), jnp.asarray(mask_gt))
+        mask_gt [B, M] bool.  B must divide by the mesh size.
+
+        Multi-process (jax.distributed + a global mesh): each process
+        passes its LOCAL batch shard; the shards are assembled into
+        global arrays over the mesh (the DDP delegation analog,
+        reference macros/run_train.py:27 — gradients are averaged by
+        XLA's psum instead of torch DDP buckets)."""
+        batch = (jnp.asarray(images), jnp.asarray(gt_labels),
+                 jnp.asarray(gt_bboxes), jnp.asarray(mask_gt))
+        if self.mesh is not None and jax.process_count() > 1:
+            bsh = batch_sharding(self.mesh)
+            batch = tuple(
+                jax.make_array_from_process_local_data(bsh, np.asarray(a))
+                for a in batch)
+        self.state, loss, parts = self._step_fn(self.state, *batch)
         return loss, parts
 
     def fit(self, dataset, *, epochs=None, log_every: int = 50,

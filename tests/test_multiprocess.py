@@ -42,6 +42,52 @@ def _make_mosaic(path):
     write_fits(img, path)
 
 
+TRAIN_WORKER = os.path.join(os.path.dirname(__file__),
+                            "mp_train_worker.py")
+
+
+def test_two_process_training_matches_single(tmp_path):
+    """DDP analog (reference macros/run_train.py:27): 2 jax.distributed
+    processes train on a batch sharded across hosts.  Both ranks must
+    hold identical replicated state, and the run must match the
+    single-process run on the same global batch (same 2-device mesh, so
+    per-device shards and collective schedules are identical)."""
+    nsteps = 3
+
+    def launch(nproc):
+        env = dict(os.environ, PYTHONPATH=REPO,
+                   XLA_FLAGS="--xla_force_host_platform_device_count="
+                             f"{2 // nproc}")
+        procs = [subprocess.Popen(
+            [sys.executable, TRAIN_WORKER, str(pid), str(nproc), "29518",
+             str(tmp_path), str(nsteps)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+            for pid in range(nproc)]
+        outs = [p.communicate(timeout=540)[0].decode() for p in procs]
+        for p, log in zip(procs, outs):
+            assert p.returncode == 0, f"train worker failed:\n{log[-3000:]}"
+
+    launch(2)
+    launch(1)
+    r0 = json.loads((tmp_path / "train_rank0_n2.json").read_text())
+    r1 = json.loads((tmp_path / "train_rank1_n2.json").read_text())
+    ref = json.loads((tmp_path / "train_rank0_n1.json").read_text())
+
+    # replicated state is identical on both ranks, bit for bit
+    assert r0["params_hash"] == r1["params_hash"]
+    assert r0["ema_hash"] == r1["ema_hash"]
+    assert r0["losses"] == r1["losses"]
+    assert r0["step"] == ref["step"] == nsteps
+
+    # 2-process == single-process (f32 tolerance: the global batch,
+    # mesh, and shardings are identical; only host count differs)
+    np.testing.assert_allclose(r0["losses"], ref["losses"], rtol=1e-5)
+    np.testing.assert_allclose(r0["param_sums"], ref["param_sums"],
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(r0["ema_sums"], ref["ema_sums"],
+                               rtol=1e-5, atol=1e-6)
+
+
 def test_two_process_tiled_run(tmp_path):
     mosaic = str(tmp_path / "mosaic.fits")
     _make_mosaic(mosaic)
