@@ -176,3 +176,50 @@ def test_http_serving_daemon(rng, tmp_path):
     finally:
         server.shutdown()
         server.server_close()
+
+
+def test_verify_pt_parity_kit(tmp_path):
+    """The real-weights parity kit (scripts/verify_pt_parity.py) passes
+    end to end on a calibrated random-weight twin checkpoint — the day a
+    released ultralytics .pt exists, the BASELINE IoU>=0.99 claim is the
+    same single invocation."""
+    import importlib.util
+    import os
+    import sys
+
+    import torch
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__)))
+    import ultra_ref as U
+    from caesar_yolo_tpu.utils.synth import write_mosaic_fits
+
+    fits = tmp_path / "field.fits"
+    write_mosaic_fits(str(fits), nx=192, ny=192, n_sources=12, seed=4)
+
+    # calibrated twin (BN stats + head conditioning persist through the
+    # state dict) saved as a plain-.pt checkpoint
+    from caesar_yolo_tpu.ops import build_preprocessor
+    from caesar_yolo_tpu.utils.fits import read_fits
+    data = np.asarray(read_fits(str(fits))[0], np.float32)
+    img = np.repeat(data[:, :, None], 3, axis=-1)
+    img = np.asarray(build_preprocessor(zscale_stretch=True,
+                                        normalize_minmax=True)(img)[0],
+                     np.float32)
+    lb, _, _, _ = U.ultra_letterbox(img, 192)
+    t = torch.from_numpy(np.ascontiguousarray(
+        lb[:, :, ::-1].transpose(2, 0, 1)))[None] / 255.0
+    tm = U.build_torch_twin("yolov8n", seed=11, calib=t)
+    pt = tmp_path / "yolov8n.pt"
+    torch.save(tm.state_dict(), str(pt))
+
+    spec = importlib.util.spec_from_file_location(
+        "verify_pt_parity",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "scripts", "verify_pt_parity.py"))
+    kit = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(kit)
+
+    verdict = kit.verify(str(pt), str(fits), img_size=192)
+    assert verdict["verdict"] == "PASS", verdict
+    assert verdict["n_torch"] == verdict["n_jax"] >= 1
+    assert all(p["iou"] >= 0.99 for p in verdict["pairs"])
