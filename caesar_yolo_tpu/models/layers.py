@@ -359,12 +359,24 @@ class Attention:
         q = qkv[..., :self.key_dim]
         k = qkv[..., self.key_dim:self.key_dim * 2]
         v = qkv[..., self.key_dim * 2:]
-        # attn[b, h, i, j] = q_i . k_j
-        attn = jnp.einsum("bnhk,bmhk->bhnm", q, k,
-                          preferred_element_type=jnp.float32) * self.scale
-        attn = jax.nn.softmax(attn, axis=-1).astype(x.dtype)
-        out = jnp.einsum("bhnm,bmhd->bnhd", attn, v,
-                         preferred_element_type=jnp.float32).astype(x.dtype)
+        from caesar_yolo_tpu.models import pallas_attn
+        if pallas_attn.supported(n):
+            # fused qk/softmax/av, score matrix VMEM-resident (the XLA
+            # einsum path ran at 11% peak and wrote the [B,h,N,N] f32
+            # scores to HBM — see pallas_attn.py)
+            out = pallas_attn.attention_pallas(
+                q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+                v.transpose(0, 2, 1, 3), self.scale)
+            out = out.transpose(0, 2, 1, 3)           # [B, N, h, hd]
+        else:
+            # attn[b, h, i, j] = q_i . k_j
+            attn = jnp.einsum(
+                "bnhk,bmhk->bhnm", q, k,
+                preferred_element_type=jnp.float32) * self.scale
+            attn = jax.nn.softmax(attn, axis=-1).astype(x.dtype)
+            out = jnp.einsum(
+                "bhnm,bmhd->bnhd", attn, v,
+                preferred_element_type=jnp.float32).astype(x.dtype)
         out = out.reshape(b, hh, ww, self.dim)
         vmap = v.reshape(b, hh, ww, self.dim)
         out = out + self.pe(params["pe"], vmap)
