@@ -69,6 +69,8 @@ def bench_mosaic():
         image_ymax=-1, img_size=640, score_thr=0.7,
         split_image_in_tiles=True, tile_xsize=tile, tile_ysize=tile,
         tile_xstep=1.0, tile_ystep=1.0, batch_size=16,
+        relay_dtype=("bfloat16" if os.environ.get("BENCH_RELAY") == "bf16"
+                     else "float32"),
         outfile_json=os.path.join(workdir, "catalog.json"),
         outfile_ds9=os.path.join(workdir, "regions.reg"))
     sf = SFinder(model, params, cfg, preprocessor=preproc)
@@ -117,8 +119,11 @@ def bench_eval():
     rng = np.random.default_rng(0)
     imgs = {i: rng.random((size, size, 1), dtype=np.float32)
             for i in range(n_imgs)}
-    det = BatchedDetector(model, params, preprocessor=preproc,
-                          img_size=640, score_thr=0.25, batch_size=batch)
+    det = BatchedDetector(
+        model, params, preprocessor=preproc, img_size=640,
+        score_thr=0.25, batch_size=batch,
+        relay_dtype=("bfloat16" if os.environ.get("BENCH_RELAY") == "bf16"
+                     else "float32"))
     det.detect_many(list(range(min(batch, n_imgs))),
                     lambda k: imgs[k])  # compile
     t0 = time.perf_counter()

@@ -58,7 +58,10 @@ class BatchedDetector:
 
             def dispatch(pairs, shape):
                 h, w, c = shape
-                arr = np.zeros((self.batch_size, h, w, c), np.float32)
+                # staged in the engine's relay dtype (bf16 halves the
+                # host->device bytes when the link is the bound)
+                arr = np.zeros((self.batch_size, h, w, c),
+                               self.engine.relay_np_dtype)
                 for i, (_, img) in enumerate(pairs):
                     arr[i] = img
                 pending.append(([k for k, _ in pairs],

@@ -108,6 +108,10 @@ class SFinderConfig:
     # inference.py:954-978).  Payloads larger than this take more
     # gather rounds — never an error.
     gather_payload_bytes: int = 8 * 1024 * 1024
+    # host->device tile transfer dtype: "bfloat16" halves relay bytes
+    # (full f32 range, 8-bit mantissa) for link-bound hosts; default
+    # stays exact f32 — see TileEngine.relay_dtype
+    relay_dtype: str = "float32"
 
 
 @dataclass
@@ -296,7 +300,8 @@ class SFinder:
                 self.model, self.params, preprocessor=self.preprocessor,
                 mesh=self.mesh, img_size=cfg.img_size,
                 score_thr=cfg.score_thr, iou_thr=cfg.iou_thr,
-                pre_nms=cfg.pre_nms, **self.engine_kwargs)
+                pre_nms=cfg.pre_nms, relay_dtype=cfg.relay_dtype,
+                **self.engine_kwargs)
         engine = self._engine
 
         t_detect = time.time()
@@ -466,12 +471,16 @@ class SFinder:
                                 (tile_batch[i].tid, "read failed"))
                             logger.error("Failed to read tile %d, skipping",
                                          tile_batch[i].tid)
-                    arr = np.zeros((batch, h, w, 1), np.float32)
+                    # staged in the engine's relay dtype: with
+                    # relay_dtype=bfloat16 the host->device transfer
+                    # ships half the bytes (cast happens on assignment)
+                    arr = np.zeros((batch, h, w, 1), engine.relay_np_dtype)
                     for k, i in enumerate(ok_idx):
                         arr[k] = datas[i]
                     if cfg.save_tile_img:
                         for k, i in enumerate(ok_idx):
-                            arrs_by_tid[tile_batch[i].tid] = arr[k, :, :, 0]
+                            arrs_by_tid[tile_batch[i].tid] = \
+                                datas[i][:, :, 0]
                     pending.append(
                         ([tile_batch[i] for i in ok_idx],
                          engine.process_async(arr)))

@@ -155,3 +155,32 @@ def test_evaluate_cli_with_trained_weights(tmp_path, monkeypatch):
     import re
     m = re.search(r"compact: C=([0-9.]+)", out)
     assert m and float(m.group(1)) >= 0.75, out
+
+
+def test_relay_bf16_matches_f32(trained):
+    """relay_dtype="bfloat16" (half host->device bytes) must find the
+    same sources as the exact-f32 relay: bf16 keeps the full f32
+    exponent range, so the ~0.4% mantissa rounding only perturbs boxes
+    at sub-pixel level on real detections."""
+    model, params = trained
+    rng = np.random.default_rng(7)
+    img = rng.normal(0.0, 0.08, (2, 96, 96, 1)).astype(np.float32)
+    yy, xx = np.mgrid[0:96, 0:96]
+    for k, (cx, cy) in enumerate([(40, 40), (60, 30)]):
+        img[k, :, :, 0] += 6.0 * np.exp(
+            -((xx - cx) ** 2 + (yy - cy) ** 2) / (2 * 4.5 ** 2))
+    preproc = build_preprocessor(normalize_minmax=True)
+    from caesar_yolo_tpu.parallel.engine import TileEngine
+    e32 = TileEngine(model, params, preprocessor=preproc, img_size=96,
+                     score_thr=0.30, compute_dtype=jnp.float32)
+    e16 = TileEngine(model, params, preprocessor=preproc, img_size=96,
+                     score_thr=0.30, compute_dtype=jnp.float32,
+                     relay_dtype="bfloat16")
+    o32 = e32.process(img)
+    o16 = e16.process(img)
+    v32, v16 = o32[3], o16[3]
+    assert v32.sum() >= 2, "fixture must detect the injected sources"
+    assert v32.sum() == v16.sum()
+    np.testing.assert_allclose(o16[0][v16], o32[0][v32], atol=1.5)
+    np.testing.assert_allclose(o16[1][v16], o32[1][v32], atol=0.03)
+    assert (o16[2][v16] == o32[2][v32]).all()
