@@ -63,8 +63,69 @@ def up_einsum(x):
     return y.astype(x.dtype)
 
 
+def _up_kernel_bcast(x_ref, o_ref):
+    # one (batch, H-block) tile: [1, BH, W, C] -> [1, 2*BH, 2W, C]
+    x = x_ref[0]                                    # [BH, W, C]
+    bh, w, c = x.shape
+    y = jnp.broadcast_to(x[:, None, :, None, :], (bh, 2, w, 2, c))
+    o_ref[0] = y.reshape(2 * bh, 2 * w, c)
+
+
+def _up_kernel_rows(x_ref, o_ref):
+    # per-row static loop; W doubled via (W,2,C) broadcast+reshape
+    x = x_ref[0]
+    bh, w, c = x.shape
+    for i in range(bh):
+        row = x[i]                                  # [W, C]
+        wide = jnp.broadcast_to(row[:, None, :], (w, 2, c))
+        wide = wide.reshape(2 * w, c)
+        o_ref[0, 2 * i] = wide
+        o_ref[0, 2 * i + 1] = wide
+
+
+def _make_pallas_up(kernel, bh=None):
+    import functools
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def up(x, interpret=False):
+        b, h, w, c = x.shape
+        blk = bh or h
+        spec_in = pl.BlockSpec((1, blk, w, c), lambda i, j: (i, j, 0, 0),
+                               memory_space=pltpu.VMEM)
+        spec_out = pl.BlockSpec((1, 2 * blk, 2 * w, c),
+                                lambda i, j: (i, j, 0, 0),
+                                memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            kernel,
+            grid=(b, h // blk),
+            in_specs=[spec_in],
+            out_specs=spec_out,
+            out_shape=jax.ShapeDtypeStruct((b, 2 * h, 2 * w, c), x.dtype),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=64 * 1024 * 1024),
+            interpret=interpret,
+        )(x)
+
+    return up
+
+
+def up_pallas_bcast(x):
+    return _make_pallas_up(_up_kernel_bcast)(x)
+
+
+def up_pallas_rows(x):
+    return _make_pallas_up(_up_kernel_rows)(x)
+
+
+def up_pallas_rows4(x):
+    return _make_pallas_up(_up_kernel_rows, bh=4)(x)
+
+
 VARIANTS = {"repeat": up_repeat, "broadcast": up_broadcast,
-            "einsum": up_einsum}
+            "einsum": up_einsum, "pl_bcast": up_pallas_bcast,
+            "pl_rows": up_pallas_rows, "pl_rows4": up_pallas_rows4}
 
 
 def time_loop(fn, x):
@@ -98,9 +159,14 @@ def main():
         print(f"-- {name}: [{B},{h},{h},{c}] -> {2*h}x{2*h} "
               f"({gb:.2f} GB traffic floor)")
         for vname, fn in VARIANTS.items():
-            got = np.asarray(jax.jit(fn)(x), np.float32)
-            err = np.abs(ref - got).max()
-            ms = time_loop(fn, x)
+            try:
+                got = np.asarray(jax.jit(fn)(x), np.float32)
+                err = np.abs(ref - got).max()
+                ms = time_loop(fn, x)
+            except Exception as e:
+                print(f"   {vname:10s} FAILED: {type(e).__name__}: "
+                      f"{str(e)[:160]}", flush=True)
+                continue
             print(f"   {vname:10s} {ms:7.3f} ms/batch  "
                   f"{gb / ms * 1e3:6.0f} GB/s  maxdiff={err:.5f}",
                   flush=True)
