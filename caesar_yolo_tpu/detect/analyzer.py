@@ -95,7 +95,10 @@ class Analyzer:
             img = np.repeat(img, nchan, axis=-1)
 
         if self.preprocessor is not None:
-            out, valid = self.preprocessor(img)
+            # batch-of-one through the compiled batch path: stages with
+            # native Pallas batch kernels (hist-eq/CLAHE/sigma-clip)
+            # must not take their per-image XLA formulations on TPU
+            out, valid = self.preprocessor.apply_one(img)
             if not bool(valid):
                 logger.warning("Preprocessing marked image invalid, "
                                "skipping prediction")

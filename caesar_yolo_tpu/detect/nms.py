@@ -200,25 +200,25 @@ def nms_batch(boxes: jnp.ndarray, scores: jnp.ndarray,
     return (*outs, n_dropped)
 
 
-# While True (deploy.py's portable_trace), _suppress_batch traces the
-# platform-neutral XLA sweeps even on a TPU host, so jax.export
-# artifacts never bake in the Mosaic kernel (which would not lower for
-# other platforms).
-_FORCE_PORTABLE = False
+# While portable.FORCE is True (deploy.py's portable_suppression),
+# _suppress_batch traces the platform-neutral XLA sweeps even on a TPU
+# host, so jax.export artifacts never bake in the Mosaic kernel (which
+# would not lower for other platforms).  The flag is shared
+# (utils/portable.py): the preprocessing stages' native batch kernels
+# honor it too (ops/transforms.Pipeline.apply_batch).
+from caesar_yolo_tpu.utils import portable as _portable
 
 
 class portable_suppression:
-    """Context manager forcing the XLA suppression formulation during
-    tracing (used by deploy.export_detector)."""
+    """Context manager forcing the XLA formulations of every Pallas
+    kernel during tracing (used by deploy.export_detector)."""
 
     def __enter__(self):
-        global _FORCE_PORTABLE
-        self._prev = _FORCE_PORTABLE
-        _FORCE_PORTABLE = True
+        self._prev = _portable.FORCE
+        _portable.FORCE = True
 
     def __exit__(self, *exc):
-        global _FORCE_PORTABLE
-        _FORCE_PORTABLE = self._prev
+        _portable.FORCE = self._prev
         return False
 
 
@@ -226,7 +226,7 @@ def _suppress_batch(nms_boxes, top_valid, iou_thr):
     """Batched suppression: VMEM-resident Pallas kernel on TPU
     (detect/pallas_nms.py), the XLA sweeps everywhere else — numerically
     identical (parity pinned by tests/test_pallas_nms.py)."""
-    if jax.default_backend() == "tpu" and not _FORCE_PORTABLE:
+    if jax.default_backend() == "tpu" and not _portable.FORCE:
         from caesar_yolo_tpu.detect.pallas_nms import nms_suppress
         return nms_suppress(jnp.transpose(nms_boxes, (0, 2, 1)),
                             top_valid, iou_thr)

@@ -30,11 +30,23 @@ INTERPRET = False  # tests flip this on CPU
 def _use_interpret() -> bool:
     return INTERPRET or jax.default_backend() == "cpu"
 
+# The [N, N] f32 score matrix plus softmax temporaries must stay inside
+# the VMEM budget below (2 * N^2 * 4 B at the cap = 33 MB of the 64 MB
+# limit, q/k/v blocks on top); larger imgsize graphs take the XLA
+# einsum path, which compiles at any N.
+MAX_N = 2048
+
 
 def supported(n: int) -> bool:
     """Mosaic needs the position axis 8-aligned (sublane dim of the
-    in-VMEM score matrix); other shapes take the XLA einsum path."""
-    return n % 8 == 0 and n >= 8
+    in-VMEM score matrix) and the score matrix must fit VMEM; other
+    shapes take the XLA einsum path.  Only the TPU backend lowers the
+    kernel (interpret mode is for parity tests, not the CPU hot path —
+    models on CPU use the einsum path)."""
+    from caesar_yolo_tpu.utils import portable
+    return (n % 8 == 0 and 8 <= n <= MAX_N
+            and not portable.FORCE  # export tracing: einsum lowers anywhere
+            and (jax.default_backend() in ("tpu", "axon") or INTERPRET))
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, out_ref, *, scale):
@@ -53,12 +65,24 @@ def _attn_kernel(q_ref, k_ref, v_ref, out_ref, *, scale):
     out_ref[0, 0] = out.astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("scale",))
-def attention_pallas(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
-                     scale: float) -> jnp.ndarray:
-    """q, k [B, H, N, kd]; v [B, H, N, hd] -> [B, H, N, hd].
+def _attention_ref(q, k, v, scale):
+    """XLA einsum formulation with the SAME numerics as the kernel
+    (f32 scores, max-subtracted softmax, compute-dtype probabilities,
+    f32 accumulation).  Differentiable — the custom VJP below routes
+    gradients through this."""
+    s = jax.lax.dot_general(
+        q, k, (((3,), (3,)), ((0, 1), (0, 1))),
+        preferred_element_type=jnp.float32) * scale       # [B, H, N, N]
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)
+    out = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((3,), (2,)), ((0, 1), (0, 1))),
+        preferred_element_type=jnp.float32)
+    return out.astype(v.dtype)
 
-    softmax(q k^T * scale) v with the score matrix VMEM-resident."""
+
+def _attention_fwd_pallas(q, k, v, scale):
     b, h, n, kd = q.shape
     hd = v.shape[-1]
     spec = lambda d: pl.BlockSpec((1, 1, n, d), lambda i, j: (i, j, 0, 0),
@@ -73,3 +97,38 @@ def attention_pallas(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
             vmem_limit_bytes=64 * 1024 * 1024),
         interpret=_use_interpret(),
     )(q, k, v)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _attention(q, k, v, scale):
+    return _attention_fwd_pallas(q, k, v, scale)
+
+
+def _attention_vjp_fwd(q, k, v, scale):
+    # pallas_call has no differentiation rules, so training through the
+    # C2PSA stage needs this custom VJP: the fused kernel runs forward,
+    # the backward re-derives gradients through the numerically
+    # identical einsum formulation (recompute-in-backward — the same
+    # memory/time trade as jax.checkpoint, and the [N,N] scores still
+    # never persist between passes)
+    return _attention_fwd_pallas(q, k, v, scale), (q, k, v)
+
+
+def _attention_vjp_bwd(scale, res, g):
+    q, k, v = res
+    _, vjp = jax.vjp(lambda q_, k_, v_: _attention_ref(q_, k_, v_, scale),
+                     q, k, v)
+    return vjp(g)
+
+
+_attention.defvjp(_attention_vjp_fwd, _attention_vjp_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=("scale",))
+def attention_pallas(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                     scale: float) -> jnp.ndarray:
+    """q, k [B, H, N, kd]; v [B, H, N, hd] -> [B, H, N, hd].
+
+    softmax(q k^T * scale) v with the score matrix VMEM-resident.
+    Differentiable (custom VJP through the einsum formulation)."""
+    return _attention(q, k, v, scale)

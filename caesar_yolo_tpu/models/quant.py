@@ -128,7 +128,10 @@ def calibration_inputs_from_tiles(tiles, *, preprocessor=None,
     if x.shape[-1] == 1 and nchan > 1:
         x = jnp.repeat(x, nchan, axis=-1)
     if preprocessor is not None:
-        x, _ = jax.vmap(preprocessor.apply)(x)
+        # apply_batch routes hist-eq-class stages through their Pallas
+        # batch kernels (the vmapped XLA histogram hangs real TPUs) and
+        # matches the TileEngine's serving-path preprocessing exactly
+        x, _ = preprocessor.apply_batch(x)
     if x.shape[-1] == 1 and nchan > 1:
         x = jnp.repeat(x, nchan, axis=-1)
     return [letterbox_batch(x, img_size).astype(compute_dtype)]

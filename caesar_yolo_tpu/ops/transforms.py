@@ -332,8 +332,6 @@ def bkg_subtractor(sigma: float = 3.0, use_mask_box: bool = False,
 
     def batch(data):                                       # [B, H, W, C]
         b, h, w, _ = data.shape
-        if use_mask_box:
-            y0, y1, x0, x1 = center_box_slices(h, w, mask_fract)
 
         def ch(x, i):                                      # [B, H, W]
             if chid != -1 and i != chid:
@@ -679,9 +677,21 @@ class Pipeline:
 
         self.apply = run  # pure, un-jitted (for fusing into larger programs)
         self._run = jax.jit(run)
+        # jitted batch program (compiled once per shape): single-image
+        # callers route through THIS with a [1, ...] batch so stages
+        # with native batch kernels (hist-eq/CLAHE/sigma-clip Pallas)
+        # take them — the per-image XLA formulations of those
+        # histograms are the ones that hang real TPUs
+        self._run_batch = jax.jit(lambda tiles: self.apply_batch(tiles))
 
     def __call__(self, data):
         return self._run(data)
+
+    def apply_one(self, img):
+        """[H, W, C] -> (out, valid) through the compiled BATCH path
+        (as a batch of one) — identical numerics to apply_batch."""
+        out, valid = self._run_batch(jnp.asarray(img)[None])
+        return out[0], valid[0]
 
     def apply_batch(self, tiles, out_dtype=jnp.float32, use_fused=False):
         """[B, H, W, C] -> (out, valid[B]).  Pure — traceable inside
@@ -697,11 +707,14 @@ class Pipeline:
         if (use_fused and self.fused_batch is not None
                 and tiles.shape[-1] == 1):
             return self.fused_batch(tiles, out_dtype=out_dtype)
+        from caesar_yolo_tpu.utils import portable
         out = jnp.asarray(tiles, dtype=jnp.float32)
         valid = jnp.ones(tiles.shape[0], bool)
         for stage in self.stages:
             batch_fn = getattr(stage, "batch", None)
-            if batch_fn is not None:
+            # portable.FORCE (export tracing): skip native batch paths —
+            # their Mosaic kernels would not lower for non-TPU platforms
+            if batch_fn is not None and not portable.FORCE:
                 out, v = batch_fn(out)
             else:
                 out, v = jax.vmap(stage)(out)

@@ -49,6 +49,14 @@ def zscale_limits(values: jnp.ndarray, contrast: float = 0.25,
     ngrow = max(1, int(npix * 0.01))
     x = jnp.arange(npix, dtype=jnp.float32)
     kernel = jnp.ones((ngrow,), dtype=jnp.float32)
+    center = (npix - 1) // 2
+    median = 0.5 * (v[(npix - 1) // 2] + v[npix // 2])
+    # fit on median-centered samples: the slope is shift-invariant, but
+    # centering keeps the x*v accumulations at the scale of the sample
+    # SPREAD rather than the sample magnitude — on f32 a large DC
+    # offset (e.g. ~1e6 counts) otherwise injects ulp(offset)-scale
+    # noise into the fitted slope
+    v = v - median
 
     def body(_, state):
         bad, ngood, _, _ = state
@@ -90,8 +98,6 @@ def zscale_limits(values: jnp.ndarray, contrast: float = 0.25,
     fitted_ok = ngood >= minpix
     if contrast > 0:
         slope = slope / contrast
-    center = (npix - 1) // 2
-    median = 0.5 * (v[(npix - 1) // 2] + v[npix // 2])
     vmin = jnp.maximum(vmin0, median - (center - 1) * slope)
     vmax = jnp.minimum(vmax0, median + (npix - center) * slope)
     vmin = jnp.where(fitted_ok, vmin, vmin0)
@@ -104,10 +110,16 @@ def zscale_limits(values: jnp.ndarray, contrast: float = 0.25,
     # then divides by zero, NaN-filling the channel
     # (reference preprocessing.py:964-971).  Fall back to the full
     # sample range instead, like the failed-fit branch above.
-    # The threshold is relative to the sample range: a flat fit's slope
-    # lands at +/- a few float ulps of 0 depending on reduction order
-    # (TPU vs CPU summation), so an exact vmax > vmin test is unstable.
-    bad_interval = ~(vmax - vmin > (vmax0 - vmin0) * 1e-6)
+    # The threshold must NOT scale with the full sample range: a tile
+    # whose range is dominated by one bright source (~1e7 counts over
+    # ~unit noise) has a legitimate few-unit zscale interval that a
+    # range-relative test would spuriously reject.  With the fit
+    # median-centered above, a flat fit's slope noise is at the ulp
+    # scale of the fitted ENDPOINTS — gate on that magnitude, with a
+    # range-scaled floor only at the 1e-12 level for median==0 tiles.
+    scale = jnp.maximum(jnp.abs(vmin), jnp.abs(vmax))
+    bad_interval = ~(vmax - vmin
+                     > scale * 1e-5 + (vmax0 - vmin0) * 1e-12)
     vmin = jnp.where(bad_interval, vmin0, vmin)
     vmax = jnp.where(bad_interval, vmax0, vmax)
     return vmin, vmax

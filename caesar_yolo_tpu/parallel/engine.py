@@ -40,11 +40,13 @@ def make_tile_step(model: YOLO, *, preprocessor=None, img_size: int = 640,
     -> (boxes in tile coords, scores, cls, valid, tile_ok, n_dropped).
 
     Gray tiles replicate to the model's channel count BEFORE
-    preprocessing (reference evaluation.py:146-154); the whole batch
-    preprocessing stays one XLA-fused region (vmapped stage chain —
-    measured faster than the hand-fused Pallas kernel, see
-    ops/transforms.py Pipeline); the degenerate-channel guard
-    reproduces reference evaluation.py:168-176 (fixed to index
+    preprocessing (reference evaluation.py:146-154); batch preprocessing
+    goes through Pipeline.apply_batch — pure-XLA stages fuse into the
+    program (measured faster than the hand-fused whole-chain Pallas
+    kernel, see ops/transforms.py Pipeline), while stages with native
+    Pallas batch kernels (hist-eq/CLAHE/sigma-clip) take them (their
+    vmapped XLA histograms hang real TPUs); the degenerate-channel
+    guard reproduces reference evaluation.py:168-176 (fixed to index
     channels).
     """
     nchan = model.in_channels
@@ -55,7 +57,12 @@ def make_tile_step(model: YOLO, *, preprocessor=None, img_size: int = 640,
         if x.shape[-1] == 1 and nchan > 1:
             x = jnp.repeat(x, nchan, axis=-1)
         if preprocessor is not None:
-            imgs, ok = jax.vmap(preprocessor.apply)(x)
+            # apply_batch, NOT vmap(apply): stages with a native batch
+            # implementation (hist-eq/CLAHE/sigma-clip Pallas kernels)
+            # must take it — the vmapped XLA lowering of their
+            # histograms is the formulation that hangs real TPUs
+            # (ops/pallas_histeq.py)
+            imgs, ok = preprocessor.apply_batch(x)
         else:
             imgs, ok = x, jnp.ones((x.shape[0],), bool)
         if imgs.shape[-1] == 1 and nchan > 1:

@@ -177,13 +177,17 @@ class Trainer:
         global arrays over the mesh (the DDP delegation analog,
         reference macros/run_train.py:27 — gradients are averaged by
         XLA's psum instead of torch DDP buckets)."""
-        batch = (jnp.asarray(images), jnp.asarray(gt_labels),
-                 jnp.asarray(gt_bboxes), jnp.asarray(mask_gt))
         if self.mesh is not None and jax.process_count() > 1:
+            # assemble shards straight from the HOST arrays — routing
+            # through jnp.asarray first would round-trip the whole
+            # batch host->device->host->device every step
             bsh = batch_sharding(self.mesh)
             batch = tuple(
                 jax.make_array_from_process_local_data(bsh, np.asarray(a))
-                for a in batch)
+                for a in (images, gt_labels, gt_bboxes, mask_gt))
+        else:
+            batch = (jnp.asarray(images), jnp.asarray(gt_labels),
+                     jnp.asarray(gt_bboxes), jnp.asarray(mask_gt))
         self.state, loss, parts = self._step_fn(self.state, *batch)
         return loss, parts
 

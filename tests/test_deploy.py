@@ -223,3 +223,31 @@ def test_verify_pt_parity_kit(tmp_path):
     assert verdict["verdict"] == "PASS", verdict
     assert verdict["n_torch"] == verdict["n_jax"] >= 1
     assert all(p["iou"] >= 0.99 for p in verdict["pairs"])
+
+
+def test_export_portable_with_native_batch_stages(rng):
+    """Exporting a detector whose preprocessor has native Pallas batch
+    stages (chan3 -> hist-eq) and whose graph has the C2PSA attention
+    (yolo11 @128px, n=16) must trace the platform-neutral XLA
+    formulations — Mosaic kernels would not lower for other platforms —
+    and the artifact must still match the live engine."""
+    model = build_model("yolo11n", num_classes=2)
+    params = init_params(model, 0)
+    pipe = build_preprocessor(chan3_preproc=True, normalize_minmax=True)
+    assert any(getattr(s, "batch", None) is not None for s in pipe.stages)
+    tiles = _tiles(rng, b=2, h=128, w=128)
+
+    engine = TileEngine(model, params, preprocessor=pipe, img_size=128,
+                        score_thr=0.01, max_det=20)
+    ref = engine.process(tiles)
+
+    blob = export_detector(model, params, preprocessor=pipe,
+                           tile_shape=tiles.shape[1:], batch=tiles.shape[0],
+                           img_size=128, score_thr=0.01, max_det=20)
+    det = load_detector(blob)
+    got = tuple(np.asarray(o) for o in det(jnp.asarray(tiles)))
+    for name, r, g in zip(("boxes", "scores", "cls", "valid", "tile_ok",
+                           "ndrop"), ref, got):
+        np.testing.assert_allclose(np.asarray(r, np.float32),
+                                   np.asarray(g, np.float32),
+                                   atol=2e-4, err_msg=name)

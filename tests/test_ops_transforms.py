@@ -387,3 +387,31 @@ def test_clahe_clip_limits_contrast(rng):
     # input) mapping than the unclipped equalization
     norm = (x - x.min()) / (x.max() - x.min())
     assert np.abs(lo - norm).mean() < np.abs(hi - norm).mean()
+
+
+def test_zscale_bright_source_keeps_noise_interval(rng):
+    """A single ~1e7-count source atop unit noise must not trip the
+    degenerate-fit guard: the legitimate few-unit zscale interval
+    stands, instead of collapsing the stretch to the full min-max range
+    (which would wash every faint source to zero contrast)."""
+    import jax.numpy as jnp
+    from caesar_yolo_tpu.ops.zscale import zscale_limits
+    img = rng.normal(0.0, 1.0, (256, 256)).astype(np.float32)
+    img[100, 100] = 1e7
+    vmin, vmax = (float(a) for a in zscale_limits(jnp.asarray(img)))
+    assert vmax > vmin
+    assert vmax - vmin < 100.0, (vmin, vmax)
+
+
+def test_zscale_flat_after_clip_falls_back_to_range(rng):
+    """The guard's original purpose: a channel where >90% of pixels
+    share one exact value fits a ~0 slope; the interval must fall back
+    to the sample range rather than return vmin==vmax (the reference
+    NaN-fills there, preprocessing.py:964-971)."""
+    import jax.numpy as jnp
+    from caesar_yolo_tpu.ops.zscale import zscale_limits
+    img = np.full((128, 128), 5.0, np.float32)
+    img[0, 0] = 10.0  # flat index 0 is always in the stride sample
+    vmin, vmax = (float(a) for a in zscale_limits(jnp.asarray(img)))
+    assert vmax > vmin
+    np.testing.assert_allclose([vmin, vmax], [5.0, 10.0], rtol=1e-5)

@@ -99,4 +99,5 @@ def test_portable_suppression_forces_xla(rng, monkeypatch):
     with nms_mod.portable_suppression():
         got = nms_mod._suppress_batch(boxes, valid, 0.5)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
-    assert not nms_mod._FORCE_PORTABLE  # restored on exit
+    from caesar_yolo_tpu.utils import portable
+    assert not portable.FORCE  # restored on exit
