@@ -40,13 +40,13 @@ class BatchedDetector:
         # imported here: engine lives in parallel/, which itself imports
         # detect/* — a top-level import would be circular
         from caesar_yolo_tpu.parallel.engine import TileEngine
+        from caesar_yolo_tpu.parallel.mesh import pad_to_multiple
         self.engine = engine or TileEngine(
             model, params, preprocessor=preprocessor, mesh=mesh,
             img_size=img_size, score_thr=score_thr, iou_thr=iou_thr,
             pre_nms=pre_nms, **engine_kwargs)
         n_dev = int(np.prod(mesh.devices.shape)) if mesh else 1
-        b = max(batch_size, n_dev)
-        self.batch_size = ((b + n_dev - 1) // n_dev) * n_dev
+        self.batch_size = pad_to_multiple(max(batch_size, n_dev), n_dev)
         self.pre_nms = pre_nms
 
     def detect_many(self, items, load_fn, *, read_workers: int = 8):

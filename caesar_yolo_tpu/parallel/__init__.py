@@ -6,7 +6,9 @@ from caesar_yolo_tpu.parallel.mesh import (
     TILE_AXIS,
     batch_sharding,
     initialize_distributed,
+    local_mesh,
     make_mesh,
+    pad_to_multiple,
     replicated_sharding,
 )
 from caesar_yolo_tpu.parallel.sfinder import SFinder, SFinderConfig, SFinderReport

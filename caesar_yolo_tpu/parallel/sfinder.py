@@ -46,6 +46,7 @@ from caesar_yolo_tpu.outputs.catalog import (
 )
 from caesar_yolo_tpu.outputs.ds9 import write_ds9_regions
 from caesar_yolo_tpu.parallel.engine import TileEngine
+from caesar_yolo_tpu.parallel.mesh import pad_to_multiple
 from caesar_yolo_tpu.parallel.stitch import flag_edge_sources, stitch_tile_sources
 from caesar_yolo_tpu.utils import fits_native
 from caesar_yolo_tpu.utils.fits import (
@@ -201,9 +202,18 @@ class SFinder:
         cfg = self.config
         ext = os.path.splitext(cfg.image_path)[1]
         if ext == ".fits":
-            res = read_fits_crop(cfg.image_path, cfg.image_xmin,
-                                 cfg.image_xmax, cfg.image_ymin,
-                                 cfg.image_ymax, strip_deg_axis=True)
+            # config crop bounds are INCLUSIVE (set_img_size_params:
+            # nx = xmax - xmin + 1, and run_tiled tiles [xmin, xmax+1));
+            # read_fits_crop takes an EXCLUSIVE window — translate, so
+            # serial and tiled runs cover the same pixels
+            crop = (cfg.image_xmin >= 0 and cfg.image_xmax > 0
+                    and cfg.image_ymin >= 0 and cfg.image_ymax > 0)
+            res = read_fits_crop(
+                cfg.image_path, cfg.image_xmin,
+                cfg.image_xmax + 1 if crop else cfg.image_xmax,
+                cfg.image_ymin,
+                cfg.image_ymax + 1 if crop else cfg.image_ymax,
+                strip_deg_axis=True)
             if res is None:
                 logger.error("Failed to read image %s!", cfg.image_path)
                 return -1
@@ -281,7 +291,10 @@ class SFinder:
         if grid is None:
             return -1
         tiles = make_tile_windows(grid)
-        n_dev = int(np.prod(self.mesh.devices.shape)) if self.mesh else 1
+        emesh = self._inference_mesh()
+        n_local = int(np.prod(emesh.devices.shape)) if emesh else 1
+        import jax as _jax
+        n_dev = n_local * _jax.process_count()
         per_worker = -(-len(tiles) // n_dev)
         if per_worker > cfg.max_ntasks_per_worker:
             # same guard as the reference (inference.py:1150-1160)
@@ -298,7 +311,7 @@ class SFinder:
         if self._engine is None:
             self._engine = TileEngine(
                 self.model, self.params, preprocessor=self.preprocessor,
-                mesh=self.mesh, img_size=cfg.img_size,
+                mesh=emesh, img_size=cfg.img_size,
                 score_thr=cfg.score_thr, iou_thr=cfg.iou_thr,
                 pre_nms=cfg.pre_nms, relay_dtype=cfg.relay_dtype,
                 **self.engine_kwargs)
@@ -339,8 +352,22 @@ class SFinder:
         return (self.config.spool_path
                 or f".{self.image_id}.tilespool{suffix}.jsonl")
 
-    def _load_spool(self) -> dict:
-        """tid -> tile result dict from a previous crashed run."""
+    def _grid_signature(self) -> dict:
+        """Everything that changes what a spooled tile result MEANS:
+        resuming with a different grid would stitch stale windows from
+        another geometry into the new one (wrong neighbors, stale tids)."""
+        cfg = self.config
+        return {"tile_xsize": cfg.tile_xsize, "tile_ysize": cfg.tile_ysize,
+                "tile_xstep": cfg.tile_xstep, "tile_ystep": cfg.tile_ystep,
+                "crop": [cfg.image_xmin, cfg.image_xmax,
+                         cfg.image_ymin, cfg.image_ymax],
+                "img_size": cfg.img_size, "score_thr": cfg.score_thr,
+                "iou_thr": cfg.iou_thr, "pre_nms": cfg.pre_nms}
+
+    def _load_spool(self, sig: dict) -> dict:
+        """tid -> tile result dict from a previous crashed run.  Empty
+        when the spool is missing, unreadable, or was written under a
+        DIFFERENT grid signature (including legacy spools without one)."""
         import json
         done = {}
         path = self._spool_file()
@@ -348,6 +375,16 @@ class SFinder:
             return done
         try:
             with open(path) as f:
+                first = f.readline()
+                if not first:
+                    return done
+                head = json.loads(first)
+                if head.get("gridSig") != sig:
+                    logger.warning(
+                        "Ignoring spool %s: it was written under a "
+                        "different tiling/detection configuration "
+                        "(resume requires identical settings)", path)
+                    return done
                 for line in f:
                     tr = json.loads(line)
                     done[tr["tileId"]] = tr
@@ -355,18 +392,39 @@ class SFinder:
                         len(done), path)
         except Exception as e:
             logger.warning("Ignoring unreadable spool %s (%s)", path, e)
+            done.clear()
         return done
+
+    def _inference_mesh(self):
+        """The mesh tiled inference shards over: the caller's mesh on a
+        single host; THIS process's local devices under jax.distributed
+        (tiles stripe across processes — each host holds different
+        pixels, so a global batch axis is impossible by construction;
+        see parallel/mesh.py module docstring)."""
+        import jax as _jax
+        if self.mesh is not None and _jax.process_count() > 1:
+            from caesar_yolo_tpu.parallel.mesh import local_mesh
+            return local_mesh()
+        return self.mesh
 
     def _detect_tiles(self, engine: TileEngine, tiles: list[TileWindow]):
         """Shape-grouped, batch-padded, prefetched tile detection."""
         import json
         cfg = self.config
-        n_dev = int(np.prod(self.mesh.devices.shape)) if self.mesh else 1
+        n_dev = (int(np.prod(engine.mesh.devices.shape))
+                 if engine.mesh else 1)
         batch = max(cfg.batch_size, n_dev)
-        batch = ((batch + n_dev - 1) // n_dev) * n_dev
+        batch = pad_to_multiple(batch, n_dev)
 
-        done = self._load_spool() if cfg.resume else {}
-        spool = open(self._spool_file(), "a" if cfg.resume else "w")
+        sig = self._grid_signature()
+        done = self._load_spool(sig) if cfg.resume else {}
+        # append only onto a spool we validated (done non-empty implies
+        # a matching signature header); otherwise start fresh with the
+        # signature as the first record
+        spool = open(self._spool_file(), "a" if done else "w")
+        if not done:
+            spool.write(json.dumps({"gridSig": sig}) + "\n")
+            spool.flush()
         arrs_by_tid: dict[int, np.ndarray] = {}  # for save_tile_img
 
         # multi-host: stripe tiles across processes (each host owns

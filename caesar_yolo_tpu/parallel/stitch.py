@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from caesar_yolo_tpu.utils.boxes import get_merged_bbox
+from caesar_yolo_tpu.utils.boxes import boxes_overlap_np, get_merged_bbox
 from caesar_yolo_tpu.utils.tiling import TileWindow
 from caesar_yolo_tpu.utils.unionfind import connected_components
 
@@ -34,8 +34,12 @@ def flag_edge_sources(objs: list[dict], tile: TileWindow,
             obj["edge"] = True
             continue
         for nb in neighbors:
-            not_olap = (x2 < nb.xmin or x1 > nb.xmax
-                        or y2 < nb.ymin or y1 > nb.ymax)
+            # tile windows are half-open: a source starting exactly at
+            # nb.xmax lies entirely outside nb (its last pixel is
+            # nb.xmax-1) and must NOT be edge-flagged; the min side
+            # keeps the reference's closed comparison
+            not_olap = (x2 < nb.xmin or x1 >= nb.xmax
+                        or y2 < nb.ymin or y1 >= nb.ymax)
             if not not_olap:
                 obj["edge"] = True
                 break
@@ -71,9 +75,12 @@ def stitch_tile_sources(tile_results: list[dict]) -> dict:
             if tile_results[t_j]["tileId"] not in nb_tids:
                 continue
             other = tile_results[t_j]["objs"][s_j]
-            not_olap = (src["x2"] < other["x1"] or src["x1"] > other["x2"]
-                        or src["y2"] < other["y1"] or src["y1"] > other["y2"])
-            if not not_olap:
+            # closed-interval box overlap (boxes touching at an edge DO
+            # merge — reference inference.py:796-801)
+            if boxes_overlap_np(
+                    [[src["x1"], src["y1"], src["x2"], src["y2"]]],
+                    [[other["x1"], other["y1"], other["x2"],
+                      other["y2"]]])[0, 0]:
                 edges.append((i, j))
 
     for comp in connected_components(n, edges) if n else []:

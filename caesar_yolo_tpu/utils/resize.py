@@ -95,6 +95,9 @@ def resize_img_v2(image: np.ndarray, min_dim=None, max_dim=None,
                            anti_aliasing=anti_aliasing)
 
     if mode == "square":
+        if max_dim is None:
+            logger.error("mode='square' requires max_dim, returning None!")
+            return None
         h, w = image.shape[:2]
         top = (max_dim - h) // 2
         bottom = max_dim - h - top

@@ -87,22 +87,27 @@ class TileWindow:
         return self.ymax - self.ymin
 
     def is_adjacent(self, other: "TileWindow") -> bool:
-        """Tile adjacency predicate (reference inference.py:123-135)."""
-        adj_x = (self.xmax == other.xmin - 1 or self.xmin == other.xmax + 1
+        """Tile adjacency = touching without sharing pixels (reference
+        inference.py:123-135, whose INCLUSIVE coords read
+        `xmax == other.xmin - 1`; these windows are half-open, so
+        touching is `xmax == other.xmin`)."""
+        adj_x = (self.xmax == other.xmin or self.xmin == other.xmax
                  or (self.xmin == other.xmin and self.xmax == other.xmax))
-        adj_y = (self.ymax == other.ymin - 1 or self.ymin == other.ymax + 1
+        adj_y = (self.ymax == other.ymin or self.ymin == other.ymax
                  or (self.ymin == other.ymin and self.ymax == other.ymax))
         return adj_x and adj_y
 
     def is_overlapping(self, other: "TileWindow") -> bool:
-        """Tile overlap predicate (reference inference.py:137-154)."""
-        if self.xmax < other.xmin:
+        """Tile overlap = at least one shared pixel (reference
+        inference.py:137-154 on inclusive coords; half-open here, so
+        disjoint is `xmax <= other.xmin`, not `<`)."""
+        if self.xmax <= other.xmin:
             return False
-        if self.xmin > other.xmax:
+        if self.xmin >= other.xmax:
             return False
-        if self.ymax < other.ymin:
+        if self.ymax <= other.ymin:
             return False
-        if self.ymin > other.ymax:
+        if self.ymin >= other.ymax:
             return False
         return True
 

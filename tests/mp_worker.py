@@ -30,7 +30,7 @@ def main():
     from caesar_yolo_tpu.models.convert import load_params
     from caesar_yolo_tpu.models.yolo import build_model
     from caesar_yolo_tpu.ops import build_preprocessor
-    from caesar_yolo_tpu.parallel import SFinder, SFinderConfig
+    from caesar_yolo_tpu.parallel import SFinder, SFinderConfig, make_mesh
 
     params, meta = load_params(fixture)
     model = build_model(meta["model"], num_classes=int(meta["num_classes"]))
@@ -45,8 +45,13 @@ def main():
         # under real jax.distributed (crowded-catalog proof)
         gather_payload_bytes=int(os.environ.get("CY_GATHER_CHUNK",
                                                 8 * 1024 * 1024)))
+    # pass the GLOBAL mesh: SFinder must substitute this process's
+    # local mesh for tiled inference (tiles are striped per process —
+    # a global batch axis cannot hold different hosts' pixels); each
+    # rank then shards its stripe over its own 2 virtual devices
     sf = SFinder(model, params, cfg,
                  preprocessor=build_preprocessor(normalize_minmax=True),
+                 mesh=make_mesh(),
                  engine_kwargs={"compute_dtype": jnp.float32})
     rc = sf.run_tiled()
     out = {"rc": rc, "pid": pid,

@@ -31,22 +31,63 @@ def test_spool_resume_skips_done_tiles(tmp_path, tiny_model,
     fake_obj = {"name": "S1_t0", "x1": 1.0, "x2": 5.0, "y1": 1.0,
                 "y2": 5.0, "class_id": 1, "class_name": "compact",
                 "score": 0.99, "edge": 0}
-    spool = tmp_path / ".galaxy0001.tilespool.jsonl"
-    spool.write_text(json.dumps(
-        {"objs": [fake_obj], "tileId": 0, "workerId": 0,
-         "neighborTileIds": [], "xmin": 0, "xmax": 66, "ymin": 0,
-         "ymax": 66}) + "\n")
     cfg = SFinderConfig(
         image_path=galaxy_fits_path, image_xmin=-1, image_xmax=-1,
         image_ymin=-1, image_ymax=-1, img_size=64, score_thr=0.9999,
         split_image_in_tiles=True, tile_xsize=66, tile_ysize=66,
         batch_size=4, resume=True)
     sf = SFinder(m, p, cfg, engine_kwargs={"compute_dtype": jnp.float32})
+    spool = tmp_path / ".galaxy0001.tilespool.jsonl"
+    spool.write_text(
+        json.dumps({"gridSig": sf._grid_signature()}) + "\n"
+        + json.dumps(
+            {"objs": [fake_obj], "tileId": 0, "workerId": 0,
+             "neighborTileIds": [], "xmin": 0, "xmax": 66, "ymin": 0,
+             "ymax": 66}) + "\n")
     assert sf.run_tiled() == 0
     cat = json.loads((tmp_path / "catalog_galaxy0001.json").read_text())
     names = {s["score"] for s in cat["sources"]}
     assert 0.99 in names  # spooled tile survived into the catalog
     assert not spool.exists()  # cleaned up after a successful run
+
+
+def test_spool_rejected_on_config_change(tmp_path, tiny_model,
+                                         galaxy_fits_path, monkeypatch):
+    """A spool written under a DIFFERENT tiling must be ignored (stale
+    tids/windows from another grid would corrupt the stitched catalog),
+    and legacy spools without a signature are rejected the same way."""
+    m, p = tiny_model
+    monkeypatch.chdir(tmp_path)
+    fake_obj = {"name": "S1_t0", "x1": 1.0, "x2": 5.0, "y1": 1.0,
+                "y2": 5.0, "class_id": 1, "class_name": "compact",
+                "score": 0.97, "edge": 0}
+    cfg_old = SFinderConfig(
+        image_path=galaxy_fits_path, image_xmin=-1, image_xmax=-1,
+        image_ymin=-1, image_ymax=-1, img_size=64, score_thr=0.9999,
+        split_image_in_tiles=True, tile_xsize=33, tile_ysize=33,
+        batch_size=4, resume=True)
+    cfg_new = SFinderConfig(
+        image_path=galaxy_fits_path, image_xmin=-1, image_xmax=-1,
+        image_ymin=-1, image_ymax=-1, img_size=64, score_thr=0.9999,
+        split_image_in_tiles=True, tile_xsize=66, tile_ysize=66,
+        batch_size=4, resume=True)
+    sf_old = SFinder(m, p, cfg_old)
+    record = json.dumps(
+        {"objs": [fake_obj], "tileId": 9, "workerId": 0,
+         "neighborTileIds": [], "xmin": 0, "xmax": 33, "ymin": 0,
+         "ymax": 33}) + "\n"
+    spool = tmp_path / ".galaxy0001.tilespool.jsonl"
+    for content in (
+            json.dumps({"gridSig": sf_old._grid_signature()}) + "\n"
+            + record,          # different grid
+            record):           # legacy spool, no signature
+        spool.write_text(content)
+        sf = SFinder(m, p, cfg_new,
+                     engine_kwargs={"compute_dtype": jnp.float32})
+        assert sf.run_tiled() == 0
+        cat = json.loads(
+            (tmp_path / "catalog_galaxy0001.json").read_text())
+        assert 0.97 not in {s["score"] for s in cat["sources"]}
 
 
 def test_spool_guard_max_tasks(tmp_path, tiny_model, galaxy_fits_path,

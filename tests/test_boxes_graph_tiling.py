@@ -130,23 +130,59 @@ def test_tile_neighbors():
     tiles = tiling.make_tile_windows(
         tiling.generate_tiles(0, 255, 0, 255, 128, 128, 1.0, 1.0))
     nbrs = tiling.neighbor_table(tiles)
-    # 2x2 grid: everyone neighbors everyone that shares an edge; the
-    # reference's adjacency also catches the diagonal via overlap=False,
-    # adjacent requires both axes adjacency -> diagonal IS adjacent
-    # ((xmax==xmin-1 fails, but equal-extent clause passes only when
-    # aligned). Check concrete expectations:
+    # 2x2 grid of half-open windows: touching tiles share no pixels
+    # (not overlapping) but ARE adjacent, so everyone neighbors everyone
     t00, t10, t01, t11 = tiles
-    assert t00.is_adjacent(t10) is False  # xmax=128 vs xmin=128 -> not 127
-    assert t00.is_overlapping(t10) is True  # touching edge counts (<=)
+    assert t00.is_adjacent(t10) is True   # xmax == xmin (touching)
+    assert t00.is_overlapping(t10) is False  # zero shared pixels
     assert all(sorted(n) == sorted([t.tid for t in tiles if t.tid != i])
                for i, n in enumerate(nbrs))
 
 
 def test_tile_overlap_predicates():
     a = tiling.TileWindow(0, 100, 0, 100)
-    b = tiling.TileWindow(101, 200, 0, 100)   # 1px gap in x -> adjacent
+    b = tiling.TileWindow(100, 200, 0, 100)   # touching in x -> adjacent
+    g = tiling.TileWindow(101, 200, 0, 100)   # 1px gap -> nothing
     c = tiling.TileWindow(150, 250, 150, 250)  # far -> nothing
     assert a.is_adjacent(b)
     assert not a.is_overlapping(b)
     assert a.is_neighbor(b)
+    assert not a.is_adjacent(g)
+    assert not a.is_neighbor(g)
     assert not a.is_neighbor(c)
+
+
+def test_tilewindow_halfopen_predicates():
+    """Half-open window semantics: touching tiles share NO pixels (not
+    overlapping, but adjacent => still neighbors); step<1 tiles overlap."""
+    from caesar_yolo_tpu.utils.tiling import TileWindow
+    a = TileWindow(0, 256, 0, 256, tid=0)
+    b = TileWindow(256, 512, 0, 256, tid=1)       # touching right
+    c = TileWindow(192, 448, 0, 256, tid=2)       # 64px x-overlap
+    d = TileWindow(512, 768, 0, 256, tid=3)       # 1 tile away
+    assert not a.is_overlapping(b)
+    assert a.is_adjacent(b)
+    assert a.is_neighbor(b)
+    assert a.is_overlapping(c) and a.is_neighbor(c)
+    assert not a.is_adjacent(d)
+    assert not a.is_overlapping(d)
+    assert not a.is_neighbor(d)
+    diag = TileWindow(256, 512, 256, 512, tid=4)  # corner-touching
+    assert a.is_adjacent(diag) and not a.is_overlapping(diag)
+
+
+def test_flag_edge_sources_halfopen_neighbor_bound():
+    """A source starting exactly at a neighbor's (exclusive) xmax lies
+    wholly outside it and must NOT be edge-flagged (the reference's
+    inclusive-coordinate check translated to half-open windows)."""
+    from caesar_yolo_tpu.parallel.stitch import flag_edge_sources
+    from caesar_yolo_tpu.utils.tiling import TileWindow
+    tile = TileWindow(128, 384, 0, 256, tid=1)
+    nb = TileWindow(0, 256, 0, 256, tid=0)
+    inside_only = {"x1": 256.0, "x2": 300.0, "y1": 50.0, "y2": 60.0,
+                   "edge": False}
+    in_overlap = {"x1": 255.0, "x2": 300.0, "y1": 50.0, "y2": 60.0,
+                  "edge": False}
+    flag_edge_sources([inside_only, in_overlap], tile, [nb])
+    assert not inside_only["edge"]
+    assert in_overlap["edge"]

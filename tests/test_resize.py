@@ -78,3 +78,11 @@ def test_resize_mask_roundtrip():
     assert out.shape == (128, 128)
     assert set(np.unique(out)) <= {0, 1}
     assert out.sum() > 0
+
+
+def test_resize_v2_square_requires_max_dim():
+    """mode='square' without max_dim must log-and-return None (the
+    documented invalid-input contract), not crash with TypeError."""
+    import numpy as np
+    from caesar_yolo_tpu.utils.resize import resize_img_v2
+    assert resize_img_v2(np.zeros((8, 8), np.float32), min_dim=16) is None
