@@ -456,13 +456,11 @@ def fuse_tree(layer, params):
     if isinstance(layer, Conv):
         return layer.fuse(params)
     if isinstance(params, dict):
-        out = {}
-        for name, sub in params.items():
-            sublayer = getattr(layer, name, None)
-            out[name] = fuse_tree(sublayer, sub) if sublayer is not None else sub
-        if "m" in params and hasattr(layer, "m"):
-            out["m"] = [fuse_tree(bl, p) for bl, p in zip(layer.m, params["m"])]
-        return out
+        # the generic recursion covers block lists too: getattr(layer,
+        # "m") hits the list branch below
+        return {name: (fuse_tree(getattr(layer, name, None), sub)
+                       if getattr(layer, name, None) is not None else sub)
+                for name, sub in params.items()}
     if isinstance(params, list) and hasattr(layer, "__iter__"):
         return [fuse_tree(bl, p) for bl, p in zip(layer, params)]
     return params

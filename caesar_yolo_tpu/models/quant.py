@@ -62,15 +62,11 @@ def quantize_tree(layer, fused_params, ranges: dict):
             return _quantize_conv(layer, fused_params, amax)
         return fused_params
     if isinstance(fused_params, dict):
-        out = {}
-        for name, sub in fused_params.items():
-            sublayer = getattr(layer, name, None)
-            out[name] = (quantize_tree(sublayer, sub, ranges)
-                         if sublayer is not None else sub)
-        if "m" in fused_params and hasattr(layer, "m"):
-            out["m"] = [quantize_tree(bl, p, ranges)
-                        for bl, p in zip(layer.m, fused_params["m"])]
-        return out
+        # block lists ("m") recurse through the list branch below
+        return {name: (quantize_tree(getattr(layer, name, None), sub,
+                                     ranges)
+                       if getattr(layer, name, None) is not None else sub)
+                for name, sub in fused_params.items()}
     if isinstance(fused_params, list) and hasattr(layer, "__iter__"):
         return [quantize_tree(bl, p, ranges)
                 for bl, p in zip(layer, fused_params)]

@@ -108,7 +108,7 @@ def fused_zscale_minmax(tiles: jnp.ndarray, contrast: float = 0.25,
         out_specs=(tile_spec, pair_spec),
         out_shape=(jax.ShapeDtypeStruct((b, h, w), out_dtype),
                    jax.ShapeDtypeStruct((b, 2), jnp.float32)),
-        interpret=INTERPRET,
+        interpret=INTERPRET or jax.default_backend() == "cpu",
     )(tiles, vlims, nlims)
 
     valid = jnp.isfinite(zlims[:, 0]) & (zlims[:, 1] > zlims[:, 0])

@@ -18,6 +18,12 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from caesar_yolo_tpu.detect.letterbox import PAD_VALUE as _PAD
+# out-of-frame fill matches the letterbox gray (ultralytics
+# random_perspective borderValue=114): black corners would diverge the
+# train-time distribution from serving AND read as "masked" under the
+# pipeline's pixel==0 convention
+
 
 def _affine_sample(img: jnp.ndarray, mat_inv: jnp.ndarray,
                    pad_val: float = 0.0) -> jnp.ndarray:
@@ -97,11 +103,17 @@ def augment_sample(key, image, boxes, mask, *, degrees: float = 180.0,
     angle = jax.random.uniform(k1, (), minval=-degrees, maxval=degrees)
     angle = angle * jnp.pi / 180.0
     s = jax.random.uniform(k2, (), minval=1.0 - scale, maxval=1.0 + scale)
+    # image resampling works in pixel-INDEX space (centers at integer
+    # indices -> rotation center (w-1)/2); boxes are EDGE coordinates in
+    # [0, w] (edge = index + 0.5), so the same physical rotation acts
+    # about w/2 there — using the index center for boxes displaces
+    # every label by 1px under a 180-degree draw
     cx, cy = (w - 1) / 2.0, (h - 1) / 2.0
-    fwd, inv = _rot_scale_mats(angle, s, cx, cy)
+    _, inv = _rot_scale_mats(angle, s, cx, cy)
+    fwd_box, _ = _rot_scale_mats(angle, s, w / 2.0, h / 2.0)
 
-    img = _affine_sample(image, inv)
-    new_boxes = _transform_boxes(boxes, fwd)
+    img = _affine_sample(image, inv, pad_val=_PAD)
+    new_boxes = _transform_boxes(boxes, fwd_box)
     lim = jnp.asarray([w, h, w, h], dtype=new_boxes.dtype)
     new_boxes = jnp.clip(new_boxes, 0.0, lim)
     mask = mask & _box_candidates(boxes, new_boxes)
@@ -210,11 +222,16 @@ def _rot_scale_sample_batch(imgs, angles, scales, pad_val=0.0):
     ys = jnp.arange(hp, dtype=jnp.float32) - cp
     # x-shear (src_x = x + u*(y - c))
     out = _row_shift_batch(out, u[:, None] * ys[None], pad, pad_val)
-    # separable scales (s1 = sp/cos along x, s2 = sp*cos along y)
+    # separable scales (s1 = sp/cos along x, s2 = sp*cos along y).
+    # OOB interp rows have zero weight — top up with pad_val so the
+    # fill matches the shear/pad passes (partial coverage blends,
+    # exactly the per-tap OOB semantics of _affine_sample)
     Wx = _scale_mats(sp / cosr, hp, cp)
     Wy = _scale_mats(sp * cosr, hp, cp)
-    out = jnp.einsum("box,bhxc->bhoc", Wx, out)
-    out = jnp.einsum("boy,byxc->boxc", Wy, out)
+    out = (jnp.einsum("box,bhxc->bhoc", Wx, out)
+           + (1.0 - Wx.sum(-1))[:, None, :, None] * pad_val)
+    out = (jnp.einsum("boy,byxc->boxc", Wy, out)
+           + (1.0 - Wy.sum(-1))[:, :, None, None] * pad_val)
     # y-shear (src_y = y + l*(x - c)) on the transposed layout
     out = jnp.swapaxes(out, 1, 2)
     out = _row_shift_batch(out, ll[:, None] * ys[None], pad, pad_val)
@@ -243,10 +260,12 @@ def augment_batch(key, images, boxes, masks, *, degrees: float = 180.0,
         k, (), minval=-degrees, maxval=degrees))(ks[:, 0]) * jnp.pi / 180.0
     ss = jax.vmap(lambda k: jax.random.uniform(
         k, (), minval=1.0 - scale, maxval=1.0 + scale))(ks[:, 1])
-    cx, cy = (w - 1) / 2.0, (h - 1) / 2.0
 
-    imgs = _rot_scale_sample_batch(images, angles, ss)
-    fwd = jax.vmap(lambda a, s: _rot_scale_mats(a, s, cx, cy)[0])(angles, ss)
+    imgs = _rot_scale_sample_batch(images, angles, ss, pad_val=_PAD)
+    # boxes transform in EDGE coordinates: center w/2, not the image
+    # resampler's index-space (w-1)/2 (see augment_sample)
+    fwd = jax.vmap(lambda a, s: _rot_scale_mats(
+        a, s, w / 2.0, h / 2.0)[0])(angles, ss)
     new_boxes = jax.vmap(_transform_boxes)(boxes, fwd)
     lim = jnp.asarray([w, h, w, h], dtype=new_boxes.dtype)
     new_boxes = jnp.clip(new_boxes, 0.0, lim)

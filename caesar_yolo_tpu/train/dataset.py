@@ -77,6 +77,14 @@ def load_sample(img_path: str, img_size: int, max_gt: int):
         if res is None:
             return None
         img = np.asarray(res[0], np.float32)
+        # FITS pixels are instrument units (e.g. Jy/beam, any scale):
+        # min-max them to [0,1] per image so the trainer's [0,1] image
+        # contract and the 114/255 pad convention hold for every input
+        # format (the reference trains on PNG exports carrying the same
+        # per-image normalization; PNG/JPEG below get /255)
+        lo, hi = float(img.min()), float(img.max())
+        img = ((img - lo) / (hi - lo) if hi > lo
+               else np.zeros_like(img))
     else:
         res = read_image(img_path)
         if res is None:
@@ -166,16 +174,34 @@ class DetectionDataset:
         return len(self.paths) // self.batch_size
 
     def __iter__(self):
+        from collections import deque
         order = np.arange(len(self.paths))
         if self.shuffle:
             self.rng.shuffle(order)
+        batches = [order[i:i + self.batch_size]
+                   for i in range(0, len(order) - self.batch_size + 1,
+                                  self.batch_size)]
         with ThreadPoolExecutor(max_workers=self.workers) as pool:
-            for i in range(0, len(order) - self.batch_size + 1,
-                           self.batch_size):
-                idx = order[i:i + self.batch_size]
-                samples = list(pool.map(
-                    lambda j: load_sample(self.paths[j], self.img_size,
-                                          self.max_gt), idx))
+            # one batch ahead: batch i+1 decodes while the consumer's
+            # device step runs on batch i (yielding only after a full
+            # pool.map would serialize load_time + step_time)
+            futs: deque = deque()
+            pos = 0
+
+            def submit():
+                nonlocal pos
+                if pos < len(batches):
+                    futs.append([
+                        pool.submit(load_sample, self.paths[j],
+                                    self.img_size, self.max_gt)
+                        for j in batches[pos]])
+                    pos += 1
+
+            submit()
+            submit()
+            while futs:
+                samples = [f.result() for f in futs.popleft()]
+                submit()
                 samples = [s for s in samples if s is not None]
                 if not samples:
                     continue

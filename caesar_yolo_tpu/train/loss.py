@@ -27,6 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from caesar_yolo_tpu.models.yolo import REG_MAX, anchor_points
+from caesar_yolo_tpu.models.yolo import flatten_raw as _yolo_flatten_raw
 
 
 def ciou(box1: jnp.ndarray, box2: jnp.ndarray, eps: float = 1e-7):
@@ -174,14 +175,10 @@ def task_aligned_assigner(pd_scores, pd_bboxes, anchors, gt_labels,
 
 def flatten_raw(raw):
     """Per-level ((box, cls)) -> (pred_dist [B, A, 4, REG_MAX],
-    pred_logits [B, A, NC])."""
-    dists, logits = [], []
-    for box, cls in raw:
-        b, h, w, _ = box.shape
-        dists.append(box.reshape(b, h * w, 4, REG_MAX))
-        logits.append(cls.reshape(b, h * w, -1))
-    return (jnp.concatenate(dists, axis=1).astype(jnp.float32),
-            jnp.concatenate(logits, axis=1).astype(jnp.float32))
+    pred_logits [B, A, NC]) in f32 (loss math runs f32 regardless of
+    the forward compute dtype); layout from models/yolo.flatten_raw."""
+    dist, logits = _yolo_flatten_raw(raw)
+    return dist.astype(jnp.float32), logits.astype(jnp.float32)
 
 
 def detection_loss(raw, gt_labels, gt_bboxes, mask_gt, *, img_size: int,

@@ -74,6 +74,13 @@ def make_optimizer(cfg: TrainConfig, steps_per_epoch: int):
         warm = cfg.lr0 * jnp.clip(step / warmup_steps, 0.0, 1.0)
         return jnp.where(step < warmup_steps, warm, base)
 
+    def mom_fn(step):
+        # momentum warmup (published recipe: 0.8 -> 0.937 over the
+        # warmup epochs, alongside the LR ramp above)
+        ramp = jnp.clip(step / warmup_steps, 0.0, 1.0)
+        return (cfg.warmup_momentum
+                + (cfg.momentum - cfg.warmup_momentum) * ramp)
+
     def wd_mask(params):
         return jax.tree_util.tree_map_with_path(
             lambda path, _: _is_decayed(path), params)
@@ -82,7 +89,10 @@ def make_optimizer(cfg: TrainConfig, steps_per_epoch: int):
         # the published trainer clips at global-norm 10 before stepping
         optax.clip_by_global_norm(cfg.grad_clip_norm),
         optax.add_decayed_weights(cfg.weight_decay, mask=wd_mask),
-        optax.sgd(learning_rate=lr_fn, momentum=cfg.momentum, nesterov=True),
+        # optax.sgd decomposed so momentum can be scheduled: sgd =
+        # trace(momentum) then scale by -lr
+        optax.inject_hyperparams(optax.trace)(decay=mom_fn, nesterov=True),
+        optax.scale_by_learning_rate(lr_fn),
     )
     return tx, lr_fn
 
@@ -200,15 +210,19 @@ class Trainer:
             losses = []
             for i, batch in enumerate(dataset):
                 loss, parts = self.train_step(*batch)
-                losses.append(float(loss))
+                # keep the device scalar: float() here would block the
+                # host on every step and kill load/compute overlap
+                losses.append(loss)
                 if log_every and i % log_every == 0:
                     logger.info(
                         "epoch %d step %d loss=%.4f box=%.3f cls=%.3f "
                         "dfl=%.3f", epoch, i, float(loss),
                         float(parts["box"]), float(parts["cls"]),
                         float(parts["dfl"]))
-            logger.info("epoch %d mean loss %.4f", epoch,
-                        float(np.mean(losses)) if losses else float("nan"))
+            logger.info(
+                "epoch %d mean loss %.4f", epoch,
+                float(np.mean([float(l) for l in losses]))
+                if losses else float("nan"))
             if checkpoint_dir and checkpoint_every and \
                     (epoch + 1) % checkpoint_every == 0:
                 self.save_checkpoint(checkpoint_dir, step=epoch + 1)

@@ -133,7 +133,9 @@ def test_augment_rotation_preserves_center_box():
     ob = np.asarray(oboxes)
     centers = np.stack([(ob[..., 0] + ob[..., 2]) / 2,
                         (ob[..., 1] + ob[..., 3]) / 2], -1)
-    np.testing.assert_allclose(centers, 31.5, atol=0.6)
+    # boxes are edge coordinates: the rotation center is w/2 = 32.0
+    # (the image resampler's (w-1)/2 is pixel-INDEX space)
+    np.testing.assert_allclose(centers, 32.0, atol=0.15)
     assert np.asarray(omask).all()
 
 
@@ -420,3 +422,63 @@ def test_train_cli_smoke_with_augment(tmp_path, monkeypatch):
                "--checkpoint_dir=ckpt"])
     assert rc == 0
     assert (tmp_path / "ckpt" / "last").exists()
+
+
+def test_augment_box_tracks_image_content():
+    """Edge-coordinate boxes must rotate about w/2 (the image resampler
+    works in index space about (w-1)/2): the brightness centroid of a
+    small bright block must stay at the transformed box center within
+    interpolation tolerance, for arbitrary random angles."""
+    import jax
+    from caesar_yolo_tpu.train.augment import augment_sample
+    w = 96
+    img = np.zeros((w, w, 1), np.float32)
+    img[20:26, 60:66, 0] = 1.0  # bright block, off-center
+    boxes = jnp.asarray([[60.0, 20.0, 66.0, 26.0]])
+    mask = jnp.asarray([True])
+    for seed in range(6):
+        out, nb, m = augment_sample(
+            jax.random.PRNGKey(seed), jnp.asarray(img), boxes, mask,
+            degrees=180.0, scale=0.4, flipud=0.5, fliplr=0.5)
+        out = np.asarray(out[:, :, 0], np.float64)
+        nb = np.asarray(nb[0])
+        if not bool(m[0]) or out.max() < 0.2:
+            continue
+        # threshold away both the 0 background and the 0.447 gray fill
+        sig = np.clip(out - 0.6, 0, None)
+        yy, xx = np.mgrid[0:w, 0:w]
+        cx = (sig * (xx + 0.5)).sum() / sig.sum()
+        cy = (sig * (yy + 0.5)).sum() / sig.sum()
+        bx, by = (nb[0] + nb[2]) / 2, (nb[1] + nb[3]) / 2
+        assert abs(cx - bx) < 1.0 and abs(cy - by) < 1.0, (
+            seed, (cx, cy), (bx, by))
+
+
+def test_augment_batch_box_tracks_image_content():
+    """Same geometric-consistency property through the fast batched
+    rot90+shear/scale resampler path (square images)."""
+    import jax
+    from caesar_yolo_tpu.train.augment import augment_batch
+    w = 96
+    img = np.zeros((2, w, w, 1), np.float32)
+    img[0, 20:26, 60:66, 0] = 1.0
+    img[1, 70:76, 30:36, 0] = 1.0
+    boxes = jnp.asarray([[[60.0, 20.0, 66.0, 26.0]],
+                         [[30.0, 70.0, 36.0, 76.0]]])
+    mask = jnp.ones((2, 1), bool)
+    for seed in range(4):
+        out, nb, m = augment_batch(
+            jax.random.PRNGKey(100 + seed), jnp.asarray(img), boxes, mask,
+            degrees=180.0, scale=0.4, flipud=0.5, fliplr=0.5)
+        for k in range(2):
+            o = np.asarray(out[k, :, :, 0], np.float64)
+            b = np.asarray(nb[k, 0])
+            if not bool(m[k, 0]) or o.max() < 0.2:
+                continue
+            sig = np.clip(o - 0.6, 0, None)
+            yy, xx = np.mgrid[0:w, 0:w]
+            cx = (sig * (xx + 0.5)).sum() / sig.sum()
+            cy = (sig * (yy + 0.5)).sum() / sig.sum()
+            bx, by = (b[0] + b[2]) / 2, (b[1] + b[3]) / 2
+            assert abs(cx - bx) < 1.2 and abs(cy - by) < 1.2, (
+                seed, k, (cx, cy), (bx, by))
