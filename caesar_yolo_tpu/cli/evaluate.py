@@ -39,12 +39,8 @@ def parse_args(argv=None):
                    help="write per-image match detail JSON here")
     p.add_argument("--save_plot", default="",
                    help="write a per-class C/R/F1 bar figure here (.png)")
-    p.add_argument("--preprocessing", action="store_true")
-    p.add_argument("--zscale_stretch", action="store_true")
-    p.add_argument("--normalize_minmax", action="store_true")
-    p.add_argument("--chan3_preproc", action="store_true")
-    p.add_argument("--sigma_clip_low", type=float, default=1.0)
-    p.add_argument("--sigma_clip_up", type=float, default=20.0)
+    from caesar_yolo_tpu.cli.preproc_args import add_preprocessing_args
+    add_preprocessing_args(p)
     return p.parse_args(argv)
 
 
@@ -56,22 +52,16 @@ def main(argv=None) -> int:
     )
     enable_compilation_cache()
     from caesar_yolo_tpu.evaluation import evaluate_dataset
-    from caesar_yolo_tpu.ops import build_preprocessor
 
     model, params = load_model_and_params(args)
     engine_kwargs = {}
-    preproc = None
-    if args.preprocessing:
-        preproc = build_preprocessor(
-            zscale_stretch=args.zscale_stretch,
-            normalize_minmax=args.normalize_minmax,
-            chan3_preproc=args.chan3_preproc,
-            sigma_clip_low=args.sigma_clip_low,
-            sigma_clip_up=args.sigma_clip_up)
+    from caesar_yolo_tpu.cli.preproc_args import build_preprocessor_from_args
+    preproc = build_preprocessor_from_args(args)
     if args.int8:
         from caesar_yolo_tpu.cli.run import quantize_from_image
         first = [p_.strip() for p_ in open(args.filelist) if p_.strip()]
-        params = quantize_from_image(model, params, first[0], preproc,
+        params = quantize_from_image(model, params,
+                                     first[0] if first else "", preproc,
                                      args.imgsize)
         engine_kwargs = {"fuse": False}
     report = evaluate_dataset(

@@ -26,8 +26,8 @@ def parse_args(argv=None):
     p.add_argument("--batch", type=int, default=128)
     p.add_argument("--tile_xsize", type=int, default=640)
     p.add_argument("--tile_ysize", type=int, default=640)
-    p.add_argument("--nchannels", type=int, default=1,
-                   help="input tile channels (gray FITS tiles = 1)")
+    # (--nchannels comes from the shared preprocessing flag set and
+    # also sets the input tile channel count)
     p.add_argument("--imgsize", type=int, default=640)
     p.add_argument("--scoreThr", type=float, default=0.25)
     p.add_argument("--iouThr", type=float, default=0.5)
@@ -36,31 +36,20 @@ def parse_args(argv=None):
     p.add_argument("--platforms", default="",
                    help="comma-separated lowering targets, e.g. tpu,cpu "
                         "(default: current backend)")
-    p.add_argument("--preprocessing", action="store_true")
-    p.add_argument("--zscale_stretch", action="store_true")
-    p.add_argument("--normalize_minmax", action="store_true")
-    p.add_argument("--chan3_preproc", action="store_true")
-    p.add_argument("--sigma_clip_low", type=float, default=1.0)
-    p.add_argument("--sigma_clip_up", type=float, default=20.0)
+    from caesar_yolo_tpu.cli.preproc_args import add_preprocessing_args
+    add_preprocessing_args(p)
     return p.parse_args(argv)
 
 
 def main(argv=None) -> int:
     args = parse_args(argv)
     from caesar_yolo_tpu import logger
+    from caesar_yolo_tpu.cli.preproc_args import build_preprocessor_from_args
     from caesar_yolo_tpu.cli.run import load_model_and_params
     from caesar_yolo_tpu.deploy import export_detector
-    from caesar_yolo_tpu.ops import build_preprocessor
 
     model, params = load_model_and_params(args)
-    preproc = None
-    if args.preprocessing:
-        preproc = build_preprocessor(
-            zscale_stretch=args.zscale_stretch,
-            normalize_minmax=args.normalize_minmax,
-            chan3_preproc=args.chan3_preproc,
-            sigma_clip_low=args.sigma_clip_low,
-            sigma_clip_up=args.sigma_clip_up)
+    preproc = build_preprocessor_from_args(args)
     platforms = tuple(s for s in args.platforms.split(",") if s) or None
     blob = export_detector(
         model, params, preprocessor=preproc,

@@ -24,6 +24,10 @@ import os
 import sys
 
 from caesar_yolo_tpu import logger
+from caesar_yolo_tpu.cli.preproc_args import (
+    add_preprocessing_args,
+    build_preprocessor_from_args,
+)
 
 
 def parse_args(argv=None):
@@ -42,29 +46,9 @@ def parse_args(argv=None):
     parser.add_argument("--model", required=False, default="",
                         help="Architecture name (default: from weights name)")
 
-    # PREPROCESSING
+    # PREPROCESSING (shared flag set: cli/preproc_args.py)
     parser.add_argument("--imgsize", type=int, default=640)
-    parser.add_argument("--preprocessing", action="store_true")
-    parser.add_argument("--normalize_minmax", action="store_true")
-    parser.add_argument("--norm_min", type=float, default=0.0)
-    parser.add_argument("--norm_max", type=float, default=1.0)
-    parser.add_argument("--subtract_bkg", action="store_true")
-    parser.add_argument("--sigma_bkg", type=float, default=3.0)
-    parser.add_argument("--use_box_mask_in_bkg", action="store_true")
-    parser.add_argument("--bkg_box_mask_fract", type=float, default=0.7)
-    parser.add_argument("--bkg_chid", type=int, default=-1)
-    parser.add_argument("--clip_shift_data", action="store_true")
-    parser.add_argument("--sigma_clip", type=float, default=1.0)
-    parser.add_argument("--clip_data", action="store_true")
-    parser.add_argument("--sigma_clip_low", type=float, default=10.0)
-    parser.add_argument("--sigma_clip_up", type=float, default=10.0)
-    parser.add_argument("--clip_chid", type=int, default=-1)
-    parser.add_argument("--zscale_stretch", action="store_true")
-    parser.add_argument("--zscale_contrasts", type=str,
-                        default="0.25,0.25,0.25")
-    parser.add_argument("--chan3_preproc", action="store_true")
-    parser.add_argument("--sigma_clip_baseline", type=float, default=0.0)
-    parser.add_argument("--nchannels", type=int, default=1)
+    add_preprocessing_args(parser)
 
     # DETECT
     parser.add_argument("--scoreThr", type=float, default=0.7)
@@ -153,23 +137,8 @@ def validate_args(args) -> int:
     return 0
 
 
-def build_preprocessor_from_args(args):
-    from caesar_yolo_tpu.ops import build_preprocessor
-    if not args.preprocessing:
-        return None
-    contrasts = [float(v) for v in args.zscale_contrasts.split(",")]
-    return build_preprocessor(
-        subtract_bkg=args.subtract_bkg, sigma_bkg=args.sigma_bkg,
-        use_box_mask_in_bkg=args.use_box_mask_in_bkg,
-        bkg_box_mask_fract=args.bkg_box_mask_fract, bkg_chid=args.bkg_chid,
-        clip_shift_data=args.clip_shift_data, sigma_clip=args.sigma_clip,
-        clip_data=args.clip_data, sigma_clip_low=args.sigma_clip_low,
-        sigma_clip_up=args.sigma_clip_up, clip_chid=args.clip_chid,
-        nchannels=args.nchannels, zscale_stretch=args.zscale_stretch,
-        zscale_contrasts=contrasts, chan3_preproc=args.chan3_preproc,
-        sigma_clip_baseline=args.sigma_clip_baseline,
-        normalize_minmax=args.normalize_minmax, norm_min=args.norm_min,
-        norm_max=args.norm_max)
+# canonical definition lives in cli/preproc_args.py (shared with
+# evaluate/export); re-exported here for existing importers
 
 
 def load_model_and_params(args):
@@ -242,10 +211,23 @@ def run_datalist_serial(model, params, cfg, images, preproc,
 
     from caesar_yolo_tpu.parallel import SFinder
 
+    def per_image(template: str, path: str) -> str:
+        """Fixed outfile overrides get the image stem appended for
+        datalists — a shared path would silently keep only the LAST
+        image's catalog."""
+        if not template or len(images) == 1:
+            return template
+        stem = os.path.splitext(os.path.basename(path))[0]
+        base, ext = os.path.splitext(template)
+        return f"{base}_{stem}{ext}"
+
     status = 0
     predictor = None
     for path in images:
-        sf = SFinder(model, params, replace(cfg, image_path=path),
+        sf = SFinder(model, params,
+                     replace(cfg, image_path=path,
+                             outfile_json=per_image(cfg.outfile_json, path),
+                             outfile_ds9=per_image(cfg.outfile_ds9, path)),
                      preprocessor=preproc, predictor=predictor,
                      engine_kwargs=engine_kwargs)
         rc = sf.run()

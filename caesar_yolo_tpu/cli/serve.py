@@ -106,14 +106,16 @@ def make_handler(det, in_shape):
 def build_server(artifact_path: str, host: str, port: int) -> HTTPServer:
     """Load the artifact, warm it once, and return a ready HTTPServer
     (serve_forever() to run; tests drive it from a thread)."""
-    from caesar_yolo_tpu.deploy import load_detector
+    import jax
     from jax import export as jax_export
 
     blob = open(artifact_path, "rb").read()
     exp = jax_export.deserialize(blob)
     (spec,) = exp.in_avals
     in_shape = tuple(int(d) for d in spec.shape)
-    det = load_detector(blob)
+    # reuse the deserialized export (load_detector would parse the
+    # whole weights-embedded blob a second time)
+    det = jax.jit(exp.call)
     warm = np.zeros(in_shape, np.float32)
     _ = [np.asarray(o) for o in det(warm)]          # compile before serving
     logger.info("Serving %s (input %s) on %s:%d",

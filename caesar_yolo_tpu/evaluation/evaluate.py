@@ -35,10 +35,19 @@ def read_filelist(path: str) -> list[str]:
 
 
 def load_eval_image(img_path: str):
-    """[H, W, C] float32 in [0, 1] (or None on read failure)."""
+    """[H, W, C] float32 in [0, 1] (or None on read failure).
+
+    FITS min-maxes per image — the SAME convention train/dataset.py
+    load_sample applies, so training-time validation and cli.evaluate
+    score the distribution the model was trained on (raw instrument
+    units against the 114/255 letterbox pad score garbage)."""
     if img_path.endswith(".fits"):
         res = read_fits(img_path)
-        return None if res is None else np.asarray(res[0], np.float32)
+        if res is None:
+            return None
+        img = np.asarray(res[0], np.float32)
+        lo, hi = float(img.min()), float(img.max())
+        return (img - lo) / (hi - lo) if hi > lo else np.zeros_like(img)
     res = read_image(img_path)
     if res is None:
         return None

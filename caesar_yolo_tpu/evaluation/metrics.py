@@ -77,7 +77,11 @@ def compute_completeness(gt_list, pred_list, iou_thr: float = 0.6) -> dict:
     """gt_list/pred_list: per-image dicts with 'bboxes' (xyxy) and
     'labels' (class-name strings).  Returns {key: ClassCounts} with keys
     'source' (cumulative real sources), each real class, 'spurious',
-    'flagged'."""
+    'flagged'.
+
+    Any class name not in SPECIAL_CLASSES counts as a real source class
+    — custom datasets (names from dataset.yaml) score the same way the
+    reference's radio classes do, instead of silently scoring zero."""
     counts = {k: ClassCounts() for k in
               ("source",) + SOURCE_CLASSES + SPECIAL_CLASSES}
     for gt, pred in zip(gt_list, pred_list):
@@ -86,14 +90,16 @@ def compute_completeness(gt_list, pred_list, iou_thr: float = 0.6) -> dict:
         matched, best = _best_matches(gt["bboxes"], pred["bboxes"], iou_thr)
         for j, label in enumerate(labels):
             det_label = plabels[best[j]] if matched[j] else "none"
+            counts.setdefault(label, ClassCounts())
             if label in SPECIAL_CLASSES:
                 counts[label].n += 1
                 if matched[j] and det_label == label:
                     counts[label].n_matched += 1
-            elif label in SOURCE_CLASSES:
+            else:
                 counts["source"].n += 1
                 counts[label].n += 1
-                if matched[j] and det_label in SOURCE_CLASSES:
+                if matched[j] and det_label != "none" \
+                        and det_label not in SPECIAL_CLASSES:
                     counts["source"].n_matched += 1
                     counts[label].n_matched += 1
     return counts
@@ -109,14 +115,16 @@ def compute_reliability(gt_list, pred_list, iou_thr: float = 0.6) -> dict:
         matched, best = _best_matches(pred["bboxes"], gt["bboxes"], iou_thr)
         for j, plabel in enumerate(plabels):
             gt_label = labels[best[j]] if matched[j] else "none"
+            counts.setdefault(plabel, ClassCounts())
             if plabel in SPECIAL_CLASSES:
                 counts[plabel].n += 1
                 if matched[j] and gt_label == plabel:
                     counts[plabel].n_matched += 1
-            elif plabel in SOURCE_CLASSES:
+            else:
                 counts["source"].n += 1
                 counts[plabel].n += 1
-                if matched[j] and gt_label in SOURCE_CLASSES:
+                if matched[j] and gt_label != "none" \
+                        and gt_label not in SPECIAL_CLASSES:
                     counts["source"].n_matched += 1
                     counts[plabel].n_matched += 1
     return counts

@@ -27,10 +27,13 @@ def draw_results(image, objs, outfile: str, *,
     import matplotlib.pyplot as plt
     from matplotlib import patches
 
-    img = np.asarray(image).copy()
-    if img.max() == 1:
+    img = np.asarray(image, np.float32).copy()
+    # [0,1]-ish floats scale up; an exact ==1 test left e.g. a zscale
+    # output with max 0.97 unscaled, and the integer cast below then
+    # floored every pixel to 0 (solid-black plots)
+    if img.max() <= 1.0:
         img = img * 255.0
-    img = img.astype(np.uint32)
+    img = np.clip(img, 0.0, 255.0).astype(np.uint8)
 
     fig, ax = plt.subplots(1, figsize=(16, 16))
     height, width = img.shape[:2]

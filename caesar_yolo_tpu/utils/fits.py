@@ -582,6 +582,13 @@ def read_image(filename: str):
         data = plt.imread(filename)
         if data.ndim == 3 and data.shape[2] == 4:
             data = data[:, :, :3]
+        if data.dtype == np.uint8:
+            # plt.imread returns float [0,1] for PNG but uint8 0-255
+            # for JPEG; the detection contract is [0,1] floats — without
+            # this, the serial/Analyzer path fed raw 0-255 pixels while
+            # the batched path divided, so the SAME image detected
+            # differently depending on the code path
+            data = data.astype(np.float32) / 255.0
         return data, None
     logger.error("Unsupported image format (%s) given!", ext)
     return None
