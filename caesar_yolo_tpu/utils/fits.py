@@ -45,9 +45,18 @@ for _ax in (3, 4):
         f"CRPIX{_ax}", f"CUNIT{_ax}", f"CROTA{_ax}",
     ]
     for _i in range(1, 5):
+        # every matrix-key spelling Wcs.from_header accepts: PCi_j,
+        # zero-padded PC0i_0j, AIPS 3-digit PC00i00j, bare PCij — and
+        # the CD forms (a stripped NAXIS=2 header must not retain
+        # axis-3/4 matrix elements in ANY convention)
+        for _p, _sep in (("PC", "_"), ("PC", ""), ("CD", "_"), ("CD", "")):
+            _DEG_AXIS_KEYS += [
+                f"{_p}{_i}{_sep}{_ax}", f"{_p}{_ax}{_sep}{_i}",
+            ]
         _DEG_AXIS_KEYS += [
-            f"PC{_i}_{_ax}", f"PC0{_i}_0{_ax}",
-            f"PC{_ax}_{_i}", f"PC0{_ax}_0{_i}",
+            f"PC0{_i}_0{_ax}", f"PC0{_ax}_0{_i}",
+            f"PC00{_i}00{_ax}", f"PC00{_ax}00{_i}",
+            f"CD0{_i}_0{_ax}", f"CD0{_ax}_0{_i}",
         ]
 
 
@@ -345,7 +354,15 @@ def _format_card(key: str, value) -> bytes:
     elif value is None:
         card = f"{key:<8}="
     else:
-        s = str(value).replace("'", "''")
+        # ASCII-only per the FITS standard (replace, don't crash
+        # mid-write), and truncate the VALUE so the closing quote
+        # always survives the 80-char card (max 68 string chars)
+        s = str(value).encode("ascii", "replace").decode("ascii")
+        s = s.replace("'", "''")
+        if len(s) > 68:
+            s = s[:68]
+            if (len(s) - len(s.rstrip("'"))) % 2 == 1:
+                s = s[:-1]  # don't split an escaped quote pair
         card = f"{key:<8}= '{s:<8}'"
     return card.ljust(80)[:80].encode("ascii")
 
@@ -438,7 +455,10 @@ class Wcs:
                             f"{prefix}001001"))
 
             if has("CD", "_"):
-                m = mat("CD", "_", 1.0)
+                # FITS-WCS (C&G 2002): once any CDi_j is present, ALL
+                # absent elements default to 0 — including the diagonal
+                # (PC below keeps its identity default per the standard)
+                m = mat("CD", "_", 0.0)
             elif has("PC", "_") or has("PC", ""):
                 sep = "_" if has("PC", "_") else ""
                 pc = mat("PC", sep, 1.0)

@@ -93,6 +93,16 @@ def read_tiles_batch(path: str, windows, nthreads: int = 0):
                                    .reshape(-1, 4))
     n = windows.shape[0]
     sizes = [(int(w[3] - w[2]), int(w[1] - w[0])) for w in windows]
+    # every window must be strictly positive BEFORE calling in: the C++
+    # side clamps degenerate dims to 0 when computing output offsets,
+    # so a negative h*w here would under-size the buffer relative to
+    # where the worker threads write (heap corruption, not just an
+    # error return) — let the python fallback produce per-tile errors
+    if any(h <= 0 or w <= 0 for h, w in sizes) \
+            or (windows[:, [0, 2]] < 0).any():
+        logger.error("native read_tiles_batch: invalid window in batch, "
+                     "falling back to the python reader")
+        return None
     total = sum(h * w for h, w in sizes)
     out = np.empty((total,), np.float32)
     rc = lib.cyt_fits_read_tiles(

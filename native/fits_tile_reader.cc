@@ -66,10 +66,15 @@ bool parse_header(int fd, FitsInfo* info, std::string* err) {
       if (block[i + 8] != '=' || block[i + 9] != ' ') continue;
       char val[71] = {0};
       std::memcpy(val, block + i + 10, 70);
-      // terminate at '/' comment (no quoted strings among numeric keys)
+      // terminate at '/' comment (no quoted strings among numeric keys);
+      // map FORTRAN D-exponents (1.0D-3, AIPS writers) to E — atof
+      // stops at 'D' and would silently parse 1.0D-3 as 1.0, making
+      // BSCALE/BZERO (and thus every pixel) up to orders of magnitude
+      // wrong vs the numpy reader's _parse_card_value
       for (char* p = val; *p; ++p) {
         if (*p == '\'') break;
         if (*p == '/') { *p = 0; break; }
+        if (*p == 'D' || *p == 'd') *p = 'E';
       }
       double d = std::atof(val);
       if (std::strcmp(key, "BITPIX") == 0) info->bitpix = (int)d;

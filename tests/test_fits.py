@@ -412,3 +412,93 @@ def test_wcs_zero_padded_pc_keys():
     # and the no-rotation fallback is unchanged
     w_plain = Wcs.from_header(FitsHeader(base))
     assert w_plain.m == ((-0.001, 0.0), (0.0, 0.001))
+
+
+def test_native_reader_parses_fortran_d_exponents(tmp_path):
+    """AIPS/FORTRAN writers emit BSCALE = 1.0D-3; atof stops at 'D' and
+    would silently read 1.0, scaling every pixel 1000x vs the numpy
+    reader.  Both readers must agree bit for bit."""
+    from caesar_yolo_tpu.utils import fits_native
+    from caesar_yolo_tpu.utils.fits import read_fits
+    path = str(tmp_path / "dexp.fits")
+    cards = [
+        "SIMPLE  =                    T",
+        "BITPIX  =                   16",
+        "NAXIS   =                    2",
+        "NAXIS1  =                    8",
+        "NAXIS2  =                    8",
+        "BSCALE  =               1.0D-3",
+        "BZERO   =               2.5D+0",
+        "END",
+    ]
+    header = b"".join(c.ljust(80).encode() for c in cards)
+    header += b" " * (2880 - len(header) % 2880)
+    data = np.arange(64, dtype=">i2").tobytes()
+    data += b"\0" * (2880 - len(data) % 2880)
+    with open(path, "wb") as f:
+        f.write(header + data)
+    ref, _, _ = read_fits(path)
+    assert ref.max() == pytest.approx(63 * 1e-3 + 2.5)
+    if fits_native.available():
+        tiles = fits_native.read_tiles_batch(path, [(0, 8, 0, 8)])
+        assert tiles is not None
+        np.testing.assert_allclose(tiles[0], ref, rtol=1e-6)
+
+
+def test_native_reader_rejects_invalid_windows(tmp_path, rng):
+    """A window with a non-positive dimension must be rejected BEFORE
+    the native call: the C++ side clamps dims to 0 for offsets, so an
+    under-sized output buffer would be written out of bounds."""
+    from caesar_yolo_tpu.utils import fits_native
+    from caesar_yolo_tpu.utils.fits import write_fits
+    if not fits_native.available():
+        pytest.skip("native reader not built")
+    path = str(tmp_path / "w.fits")
+    write_fits(rng.random((64, 64)).astype(np.float32), path)
+    assert fits_native.read_tiles_batch(
+        path, [(0, 3, 50, 10), (0, 64, 0, 64)]) is None
+    assert fits_native.read_tiles_batch(
+        path, [(-4, 8, 0, 8)]) is None
+
+
+def test_strip_deg_axis_removes_aips_and_cd_matrix_keys():
+    from caesar_yolo_tpu.utils.fits import (FitsHeader,
+                                            strip_deg_axis_from_header)
+    h = FitsHeader({"SIMPLE": True, "BITPIX": -32, "NAXIS": 4,
+                    "NAXIS1": 8, "NAXIS2": 8, "NAXIS3": 1, "NAXIS4": 1,
+                    "PC001003": 0.0, "PC003003": 1.0, "PC34": 0.0,
+                    "CD1_3": 0.0, "CD3_3": 1.0, "PC01_03": 0.0})
+    out = strip_deg_axis_from_header(h)
+    for k in ("PC001003", "PC003003", "PC34", "CD1_3", "CD3_3",
+              "PC01_03", "NAXIS3", "NAXIS4"):
+        assert k not in out, k
+    assert out["NAXIS"] == 2
+
+
+def test_wcs_cd_matrix_absent_elements_default_zero():
+    """FITS-WCS: once any CDi_j is given, absent elements are 0 — a
+    1.0 diagonal default puts 1 deg/pixel into the matrix."""
+    from caesar_yolo_tpu.utils.fits import FitsHeader, Wcs
+    h = FitsHeader({"CTYPE1": "RA---SIN", "CTYPE2": "DEC--SIN",
+                    "CRPIX1": 1.0, "CRPIX2": 1.0,
+                    "CRVAL1": 10.0, "CRVAL2": -30.0,
+                    "CD1_1": -2.8e-4, "CD1_2": 1e-5, "CD2_1": 1e-5,
+                    "CD2_2": 2.8e-4})
+    w_full = Wcs.from_header(h)
+    del h["CD2_2"]
+    w_missing = Wcs.from_header(h)
+    assert w_full.m[1][1] == pytest.approx(2.8e-4)
+    assert w_missing.m[1][1] == 0.0
+
+
+def test_format_card_long_and_non_ascii_strings(tmp_path):
+    from caesar_yolo_tpu.utils.fits import _format_card
+    card = _format_card("OBJECT", "x" * 75)
+    assert len(card) == 80
+    text = card.decode("ascii")
+    assert text.rstrip().endswith("'")          # closing quote survives
+    card2 = _format_card("TELESCOP", "Ondřejov")  # non-ASCII
+    assert len(card2) == 80                      # replaced, not raised
+    # an escaped quote pair must not be split by the truncation
+    card3 = _format_card("OBJECT", "y" * 67 + "'")
+    assert card3.decode("ascii").count("'") % 2 == 0
