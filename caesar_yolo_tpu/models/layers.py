@@ -426,6 +426,26 @@ class C2PSA:
         return self.cv2(params["cv2"], jnp.concatenate([a, b], axis=-1))
 
 
+# Upsample formulation switch (A/B via CY_UPSAMPLE env or
+# set_upsample_mode): all modes are bit-exact pixel replication.
+#   repeat    two jnp.repeat passes (XLA materializes both: ~9 traffic
+#             units vs the 5-unit read-once/write-once floor)
+#   broadcast broadcast_in_dim + reshape (one logical pass; XLA may
+#             still materialize the relayout)
+#   pallas    single-pass VMEM kernel (ops/pallas_upsample.py), falls
+#             back to repeat off-TPU or for unsupported shapes
+import os as _os
+
+_UPSAMPLE_MODE = _os.environ.get("CY_UPSAMPLE", "repeat")
+
+
+def set_upsample_mode(mode: str) -> None:
+    """repeat | broadcast | pallas — affects subsequent traces."""
+    global _UPSAMPLE_MODE
+    assert mode in ("repeat", "broadcast", "pallas"), mode
+    _UPSAMPLE_MODE = mode
+
+
 class Upsample:
     """2x nearest-neighbor upsample (exact: pixel replication)."""
 
@@ -437,6 +457,16 @@ class Upsample:
 
     def __call__(self, params, x):
         s = self.scale
+        if s == 2 and _UPSAMPLE_MODE != "repeat":
+            b, h, w, c = x.shape
+            if _UPSAMPLE_MODE == "pallas":
+                from caesar_yolo_tpu.ops import pallas_upsample
+                if pallas_upsample.supported(h, w, c):
+                    return pallas_upsample.upsample2x_pallas(x)
+            else:  # broadcast
+                y = jnp.broadcast_to(x[:, :, None, :, None, :],
+                                     (b, h, 2, w, 2, c))
+                return y.reshape(b, 2 * h, 2 * w, c)
         x = jnp.repeat(x, s, axis=1)
         return jnp.repeat(x, s, axis=2)
 
