@@ -272,12 +272,24 @@ def _unflatten(flat: dict):
     return listify(root)
 
 
-def save_params(params, path: str, meta: dict | None = None):
-    """Save a params pytree as .npz (+ __meta__ JSON entry)."""
+def infer_num_classes(sd: dict, default: int = 5) -> int:
+    """Class count from the last cls-branch conv bias length (the one
+    head shape that encodes nc in an ultralytics state dict)."""
+    nc_keys = [k for k in sd if ".cv3." in k and k.endswith("2.bias")]
+    return int(sd[sorted(nc_keys)[0]].shape[0]) if nc_keys else default
+
+
+def save_params(params, path: str, meta: dict | None = None) -> str:
+    """Save a params pytree as .npz (+ __meta__ JSON entry).  Returns
+    the actual path written (np.savez appends .npz when absent — a
+    caller reloading the un-suffixed name would FileNotFoundError)."""
+    if not path.endswith(".npz"):
+        path = path + ".npz"
     flat = dict(_flatten(params))
     flat["__meta__"] = np.frombuffer(
         json.dumps(meta or {}).encode(), dtype=np.uint8)
     np.savez(path, **flat)
+    return path
 
 
 def load_params(path: str):
@@ -303,14 +315,12 @@ def convert_checkpoint(pt_path: str, out_path: str | None = None,
     name = model_name or os.path.splitext(os.path.basename(pt_path))[0]
     sd = load_torch_state_dict(pt_path)
     if num_classes is None:
-        # infer from the last cls-branch conv bias length
-        nc_keys = [k for k in sd if k.endswith(".bias")
-                   and ".cv3." in k and k.endswith("2.bias")]
-        num_classes = int(sd[sorted(nc_keys)[0]].shape[0]) if nc_keys else 5
+        num_classes = infer_num_classes(sd)
     model = yolo_mod.build_model(name, num_classes=num_classes)
     params = convert_state_dict(sd, model)
     if out_path:
-        save_params(params, out_path,
-                    meta={"model": name, "num_classes": num_classes})
-        logger.info("Saved converted weights to %s", out_path)
+        written = save_params(params, out_path,
+                              meta={"model": name,
+                                    "num_classes": num_classes})
+        logger.info("Saved converted weights to %s", written)
     return model, params

@@ -55,7 +55,7 @@ def load_image(fits_path: str) -> np.ndarray:
 
 def match_catalogs(j_out, t_out, iou_min=0.99, score_tol=1e-3):
     """Greedy 1:1 matching under the parity rule; returns (ok, detail)."""
-    from test_pipeline_parity import iou_matrix_np
+    from caesar_yolo_tpu.utils.boxes import iou_matrix_np
 
     jb, js, jc = j_out
     tb, ts, tc = t_out
@@ -95,6 +95,7 @@ def verify(pt_path: str, fits_path: str, *, model_name: str | None = None,
     import ultra_ref as U
     from caesar_yolo_tpu.detect.predictor import Predictor
     from caesar_yolo_tpu.models.convert import (convert_state_dict,
+                                                infer_num_classes,
                                                 load_torch_state_dict)
     from caesar_yolo_tpu.models.yolo import build_model
     from test_pipeline_parity import (n_anchors, pick_iou_threshold,
@@ -102,18 +103,19 @@ def verify(pt_path: str, fits_path: str, *, model_name: str | None = None,
 
     name = model_name or os.path.splitext(os.path.basename(pt_path))[0]
     sd = load_torch_state_dict(pt_path)
-    nc_keys = [k for k in sd if k.endswith("2.bias") and ".cv3." in k]
-    nc = int(sd[sorted(nc_keys)[0]].shape[0]) if nc_keys else 5
+    nc = infer_num_classes(sd)
 
     # torch oracle: the published-yaml twin graph loaded with the REAL
     # checkpoint weights (twin state-dict keys are ultralytics keys —
-    # the converter consumes the same layout)
+    # the converter consumes the same layout).  Real checkpoints carry
+    # a frozen dfl.conv.weight (the fixed 0..15 expectation filter) the
+    # twins compute implicitly — ignore it, as the converter does.
     tm = U.build_torch_twin(name, nc=nc)
     missing, unexpected = tm.load_state_dict(
         {k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()},
         strict=False)
     bad = [k for k in list(missing) + list(unexpected)
-           if "num_batches_tracked" not in k]
+           if "num_batches_tracked" not in k and ".dfl." not in k]
     if bad:
         raise SystemExit(f"checkpoint/graph key mismatch: {bad[:8]}")
     tm.eval()
@@ -123,21 +125,28 @@ def verify(pt_path: str, fits_path: str, *, model_name: str | None = None,
 
     img = load_image(fits_path)
 
-    if score_thr is None or iou_thr is None:
-        lb, _, _, _ = U.ultra_letterbox(img, img_size)
-        t = torch.from_numpy(np.ascontiguousarray(
-            lb[:, :, ::-1].transpose(2, 0, 1)))[None] / 255.0
-        with torch.no_grad():
-            raw = tm(t)
-        boxes_all, scores_all = U.ultra_decode(raw, img_size)
-        if score_thr is None:
-            score_thr = pick_threshold(scores_all)
-        if iou_thr is None:
-            iou_thr = pick_iou_threshold(boxes_all, scores_all, score_thr)
+    # one oracle forward serves both the auto-threshold pick and the
+    # catalog (ultra_pipeline's stages, inlined once)
+    h, w = img.shape[:2]
+    lb, r, top, left = U.ultra_letterbox(img, img_size)
+    t = torch.from_numpy(np.ascontiguousarray(
+        lb[:, :, ::-1].transpose(2, 0, 1)))[None] / 255.0
+    with torch.no_grad():
+        raw = tm(t)
+    boxes_all, scores_all = U.ultra_decode(raw)
+    if score_thr is None:
+        score_thr = pick_threshold(scores_all)
+    if iou_thr is None:
+        iou_thr = pick_iou_threshold(boxes_all, scores_all, score_thr)
+    tb, ts, tc = U.ultra_nms(boxes_all, scores_all, score_thr, iou_thr)
+    t_out = (U.ultra_scale_boxes(tb, r, top, left, h, w), ts, tc)
 
-    t_out = U.ultra_pipeline(tm, img, img_size, score_thr, iou_thr)
+    # candidate window: everything the oracle considers, capped at its
+    # own MAX_NMS cut (a bigger window would rank candidates the oracle
+    # discarded; a floor-divided one could drop candidates it keeps)
     pred = Predictor(jm, params, img_size=img_size, score_thr=score_thr,
-                     iou_thr=iou_thr, pre_nms=n_anchors(img_size),
+                     iou_thr=iou_thr,
+                     pre_nms=min(n_anchors(img_size), U.MAX_NMS),
                      compute_dtype=jnp.float32, input_scale=1 / 255.0,
                      channel_flip=True)
     j_out = pred.predict_image(img)

@@ -210,7 +210,13 @@ def test_verify_pt_parity_kit(tmp_path):
         lb[:, :, ::-1].transpose(2, 0, 1)))[None] / 255.0
     tm = U.build_torch_twin("yolov8n", seed=11, calib=t)
     pt = tmp_path / "yolov8n.pt"
-    torch.save(tm.state_dict(), str(pt))
+    sd = dict(tm.state_dict())
+    # real ultralytics checkpoints carry the frozen DFL expectation
+    # filter the twins compute implicitly — the kit must IGNORE it,
+    # not exit with "checkpoint/graph key mismatch"
+    sd["model.22.dfl.conv.weight"] = torch.arange(
+        16, dtype=torch.float32).view(1, 16, 1, 1)
+    torch.save(sd, str(pt))
 
     spec = importlib.util.spec_from_file_location(
         "verify_pt_parity",

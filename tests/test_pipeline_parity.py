@@ -37,7 +37,10 @@ def convert_twin(tm, name, nc=5):
 
 
 def n_anchors(img_size):
-    return sum((img_size // s) ** 2 for s in U.STRIDES)
+    # ceil division: strided convs round grid sizes UP for sizes not a
+    # multiple of 32 (floor undercounts and a pre_nms window sized from
+    # it could drop above-threshold candidates the oracle keeps)
+    return sum((-(-img_size // s)) ** 2 for s in U.STRIDES)
 
 
 # ---------------------------------------------------------------------------
@@ -182,7 +185,7 @@ def run_golden(name, img, img_size=192, iou_thr=0.5, seed=0,
     tm = U.build_torch_twin(name, seed=seed, calib=t)
     with torch.no_grad():
         raw = tm(t)
-    boxes_all, scores_all = U.ultra_decode(raw, img_size)
+    boxes_all, scores_all = U.ultra_decode(raw)
     if conf_thr is None:
         conf_thr = pick_threshold(scores_all)
     iou_thr = pick_iou_threshold(boxes_all, scores_all, conf_thr, iou_thr)
@@ -263,7 +266,7 @@ def test_pipeline_crowded_field_truncation(dense_img):
     tm = U.build_torch_twin("yolov8n", seed=6, calib=t)
     with torch.no_grad():
         raw = tm(t)
-    boxes_all, scores_all = U.ultra_decode(raw, img_size)
+    boxes_all, scores_all = U.ultra_decode(raw)
     conf_thr = pick_threshold(scores_all, lo=510, hi=640)
     iou_thr = pick_iou_threshold(boxes_all, scores_all, conf_thr)
     n_cand = int((scores_all.max(axis=1) > conf_thr).sum())

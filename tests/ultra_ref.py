@@ -254,9 +254,10 @@ def ultra_letterbox(img: np.ndarray, img_size: int):
     return out, r, top, left
 
 
-def ultra_decode(raw, img_size: int):
+def ultra_decode(raw):
     """DFL decode of per-level (box[1,64,h,w], cls[1,nc,h,w]) torch raw
-    outputs -> (boxes_xyxy [A,4] numpy in letterbox pixels, scores [A,NC])."""
+    outputs -> (boxes_xyxy [A,4] numpy in letterbox pixels, scores [A,NC]).
+    Grids come from the raw tensor shapes; no size parameter needed."""
     boxes_lvls, score_lvls = [], []
     for (box, cls), stride in zip(raw, STRIDES):
         b = box.detach().numpy()[0]          # [64, h, w]
@@ -343,6 +344,6 @@ def ultra_pipeline(tm: nn.Module, img: np.ndarray, img_size: int,
         np.ascontiguousarray(x.transpose(2, 0, 1)))[None] / 255.0
     with torch.no_grad():
         raw = tm(t)
-    boxes, scores = ultra_decode(raw, img_size)
+    boxes, scores = ultra_decode(raw)
     b, s, c = ultra_nms(boxes, scores, conf_thr, iou_thr, max_det)
     return ultra_scale_boxes(b, r, top, left, h, w), s, c
