@@ -133,7 +133,12 @@ def time_loop(fn, x):
     def loop(x):
         def body(_, x):
             y = fn(x)
-            # fold back to input shape so the chain stays live
+            # every stride-2 slice of a 2x nearest upsample is the
+            # input itself, so any cheap dependency is algebraically
+            # foldable — the barrier forces y's materialization (the
+            # Pallas variant is opaque anyway; without this the XLA
+            # variants could be dead-coded and time near zero)
+            y = jax.lax.optimization_barrier(y)
             dep = (jnp.sum(y[:, ::2, ::2, :]) * 1e-30).astype(x.dtype)
             return x + dep
         return lax.fori_loop(0, ITERS, body, x)

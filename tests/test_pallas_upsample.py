@@ -1,6 +1,5 @@
 """Upsample formulations: all modes bit-exact vs jnp.repeat."""
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -24,6 +23,9 @@ def test_pallas_upsample_bit_exact(rng, monkeypatch, shape, dtype):
 def test_upsample_layer_modes_match(rng, monkeypatch):
     x = jnp.asarray(rng.standard_normal((2, 8, 8, 128)), jnp.float32)
     up = layers.Upsample(2)
+    # pin the reference to the repeat formulation regardless of any
+    # ambient CY_UPSAMPLE (else the comparison can become a tautology)
+    monkeypatch.setattr(layers, "_UPSAMPLE_MODE", "repeat")
     ref = np.asarray(up({}, x))
     monkeypatch.setattr(layers, "_UPSAMPLE_MODE", "broadcast")
     np.testing.assert_array_equal(np.asarray(up({}, x)), ref)
@@ -37,8 +39,11 @@ def test_upsample_layer_modes_match(rng, monkeypatch):
                                   np.asarray(ref2))
 
 
-def test_upsample_mode_setter_validates():
-    import pytest as _pytest
-    with _pytest.raises(AssertionError):
+def test_upsample_mode_setter_validates(monkeypatch):
+    # restore the ambient mode afterwards (it's session-global state
+    # initialized from CY_UPSAMPLE)
+    monkeypatch.setattr(layers, "_UPSAMPLE_MODE", layers._UPSAMPLE_MODE)
+    with pytest.raises(AssertionError):
         layers.set_upsample_mode("nope")
-    layers.set_upsample_mode("repeat")
+    layers.set_upsample_mode("broadcast")
+    assert layers._UPSAMPLE_MODE == "broadcast"
