@@ -94,3 +94,51 @@ def test_pallas_shear_kernel_matches_fallback(rng, monkeypatch):
     ref = _row_shift_batch(imgs, shifts, 12, 0.0)        # cpu fallback
     got = ps.fractional_row_shift_batch(imgs, shifts, 12, 0.0)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-6)
+
+
+def test_gray_fill_parity_both_paths(smooth_img):
+    """With the letterbox-gray fill (the training default), the fast
+    multipass resampler must agree with the one-pass reference: exact
+    at 90-degree multiples (incl. the scale einsums' coverage top-up,
+    which replaces their implicit zero fill), interpolation-level
+    elsewhere — and out-of-frame corners must BE the gray, not 0."""
+    from caesar_yolo_tpu.detect.letterbox import PAD_VALUE
+
+    def ref(img, deg, s):
+        S = img.shape[0]
+        _, inv = _rot_scale_mats(jnp.float32(np.radians(deg)),
+                                 jnp.float32(s), (S - 1) / 2, (S - 1) / 2)
+        return _affine_sample(img, inv, pad_val=PAD_VALUE)
+
+    for deg, s, atol in ((180.0, 0.6, 1e-5), (90.0, 0.5, 1e-5)):
+        r = np.asarray(ref(smooth_img, deg, s))
+        g = np.asarray(_rot_scale_sample_batch(
+            smooth_img[None], jnp.asarray([np.radians(deg)], jnp.float32),
+            jnp.asarray([s], jnp.float32), pad_val=PAD_VALUE)[0])
+        assert np.abs(g - r).max() < atol, (deg, s)
+    # arbitrary angle: the content/fill frontier (the rotated frame
+    # edge, a diagonal through the output) blends differently through
+    # the multipass shears than through one-pass bilinear; away from
+    # that ~2px ring the two must agree at interpolation level
+    S = smooth_img.shape[0]
+    _, inv = _rot_scale_mats(jnp.float32(np.radians(45.0)),
+                             jnp.float32(1.0), (S - 1) / 2, (S - 1) / 2)
+    r = np.asarray(ref(smooth_img, 45.0, 1.0))
+    g = np.asarray(_rot_scale_sample_batch(
+        smooth_img[None], jnp.asarray([np.radians(45.0)], jnp.float32),
+        jnp.asarray([1.0], jnp.float32), pad_val=PAD_VALUE)[0])
+    cov = np.asarray(_affine_sample(jnp.ones_like(smooth_img), inv,
+                                    pad_val=0.0))[..., 0]
+    frontier = (cov > 1e-6) & (cov < 1 - 1e-6)
+    for dy in (-2, -1, 0, 1, 2):          # dilate the frontier by 2px
+        for dx in (-2, -1, 0, 1, 2):
+            frontier |= np.roll(np.roll(frontier, dy, 0), dx, 1)
+    d = np.abs(g - r)[..., 0]
+    assert d.mean() < 3e-3
+    assert d[~frontier].max() < 0.03
+    # zoomed out far: corners are pure out-of-frame fill
+    g = np.asarray(_rot_scale_sample_batch(
+        smooth_img[None], jnp.asarray([0.0], jnp.float32),
+        jnp.asarray([0.3], jnp.float32), pad_val=PAD_VALUE)[0])
+    assert abs(g[0, 0, 0] - PAD_VALUE) < 1e-5
+    assert abs(g[-1, -1, 0] - PAD_VALUE) < 1e-5
