@@ -328,3 +328,14 @@ def test_nms_crowded_matches_reference():
                         conf_thr=0.25, iou_thr=0.5, max_det=300,
                         pre_nms=256)
     assert int(np.asarray(jd)) == n_cand - 256
+
+
+@pytest.mark.parametrize("img_size,seed", [(128, 4), (256, 6)])
+def test_pipeline_golden_other_imgsizes(galaxy_img, img_size, seed):
+    """The reference model table spans imgsize 128..1024
+    (README.md:194-206); the golden harness must hold at sizes other
+    than the canonical 192 — different letterbox ratios, grid counts,
+    and pre_nms windows."""
+    j_out, t_out, _, _ = run_golden("yolov8n", galaxy_img,
+                                    img_size=img_size, seed=seed)
+    assert_catalogs_match(j_out, t_out, min_det=3)
