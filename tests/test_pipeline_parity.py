@@ -339,3 +339,16 @@ def test_pipeline_golden_other_imgsizes(galaxy_img, img_size, seed):
     j_out, t_out, _, _ = run_golden("yolov8n", galaxy_img,
                                     img_size=img_size, seed=seed)
     assert_catalogs_match(j_out, t_out, min_det=3)
+
+
+@pytest.mark.parametrize("name,seed", [("yolov8l", 8), ("yolo11l", 11)])
+def test_pipeline_golden_flagship_scales(galaxy_img, name, seed):
+    """End-to-end golden catalogs at the reference's HEADLINE scales
+    (yolov8l is its published flagship, yolo11l its v11 counterpart) —
+    activation-level round-trips alone don't cover the decode/NMS
+    interaction with l-width heads.  128px keeps the CPU forward
+    tractable (the reference table includes imgsize 128 rows for both,
+    README.md:194,203)."""
+    j_out, t_out, _, _ = run_golden(name, galaxy_img, img_size=128,
+                                    seed=seed)
+    assert_catalogs_match(j_out, t_out, min_det=2)
