@@ -216,3 +216,27 @@ def test_ghost_unpickler_prefers_ema(tmp_path):
     torch.save({"model": ma, "ema": mb}, p)
     out = load_torch_state_dict(p)
     np.testing.assert_allclose(out["0.weight"], 2.0)
+
+
+def test_convert_cli_roundtrip(tmp_path):
+    """python -m caesar_yolo_tpu.cli.convert w.pt -> w.npz that loads
+    back into an equivalent model."""
+    torch = pytest.importorskip("torch")
+    import os
+    import sys
+    sys.path.insert(0, os.path.dirname(__file__))
+    import ultra_ref as U
+    from caesar_yolo_tpu.cli.convert import main
+    from caesar_yolo_tpu.models.convert import load_params
+
+    tm = U.build_torch_twin("yolov8n", seed=21)
+    pt = tmp_path / "yolov8n.pt"
+    torch.save(tm.state_dict(), str(pt))
+    assert main([str(pt)]) == 0
+    params, meta = load_params(str(tmp_path / "yolov8n.npz"))
+    assert meta["model"] == "yolov8n" and meta["num_classes"] == 5
+    assert "stem" in params
+    # explicit out path + missing input error path
+    assert main([str(pt), str(tmp_path / "w2.npz")]) == 0
+    assert (tmp_path / "w2.npz").exists()
+    assert main([str(tmp_path / "nope.pt")]) == 1
