@@ -189,10 +189,22 @@ def run_datalist_tiled(model, params, cfg, images, preproc, mesh,
 
     from caesar_yolo_tpu.parallel import SFinder
 
+    def per_image(template: str, path: str) -> str:
+        # same rule as run_datalist_serial: a fixed outfile override
+        # must not be silently overwritten per image
+        if not template or len(images) == 1:
+            return template
+        stem = os.path.splitext(os.path.basename(path))[0]
+        base, ext = os.path.splitext(template)
+        return f"{base}_{stem}{ext}"
+
     status = 0
     engine = None
     for path in images:
-        sf = SFinder(model, params, replace(cfg, image_path=path),
+        sf = SFinder(model, params,
+                     replace(cfg, image_path=path,
+                             outfile_json=per_image(cfg.outfile_json, path),
+                             outfile_ds9=per_image(cfg.outfile_ds9, path)),
                      preprocessor=preproc, mesh=mesh, engine=engine,
                      engine_kwargs=engine_kwargs)
         rc = sf.run_tiled()

@@ -482,3 +482,32 @@ def test_augment_batch_box_tracks_image_content():
             bx, by = (b[0] + b[2]) / 2, (b[1] + b[3]) / 2
             assert abs(cx - bx) < 1.2 and abs(cy - by) < 1.2, (
                 seed, k, (cx, cy), (bx, by))
+
+
+def test_cli_datalist_tiled_per_image_outfiles(tmp_path, monkeypatch):
+    """--datalist + --split_img_in_tiles shares one compiled engine
+    across images AND keeps per-image catalogs when a fixed
+    --detect_outfile_json is given (a shared path silently kept only
+    the last image's results)."""
+    from caesar_yolo_tpu.cli.run import main
+    from caesar_yolo_tpu.models.convert import save_params
+
+    rng = np.random.default_rng(1)
+    paths = []
+    for i in range(2):
+        p = tmp_path / f"mos{i}.fits"
+        write_fits(rng.random((96, 96), np.float32), str(p))
+        paths.append(str(p))
+    (tmp_path / "list.txt").write_text("\n".join(paths))
+    m = build_model("yolov8n", num_classes=5)
+    w = tmp_path / "w.npz"
+    save_params(init_params(m, 0), str(w),
+                meta={"model": "yolov8n", "num_classes": 5})
+    monkeypatch.chdir(tmp_path)
+    rc = main([f"--weights={w}", f"--datalist={tmp_path / 'list.txt'}",
+               "--imgsize=64", "--scoreThr=0.001", "--batch_size=2",
+               "--split_img_in_tiles", "--tile_xsize=64", "--tile_ysize=64",
+               "--detect_outfile_json=cat.json"])
+    assert rc == 0
+    for i in range(2):
+        assert (tmp_path / f"cat_mos{i}.json").exists()
