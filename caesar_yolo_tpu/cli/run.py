@@ -57,6 +57,16 @@ def parse_args(argv=None):
                         help="Pre-NMS candidate window (above-threshold "
                         "candidates beyond it are dropped WITH a log; "
                         "raise for crowded fields)")
+    parser.add_argument("--resume", action="store_true",
+                        help="Resume a crashed tiled run from its "
+                        "per-tile spool (ignored when the tiling/"
+                        "detection config changed)")
+    parser.add_argument("--spool_path", type=str, default="",
+                        help="Tile-result spool file (default: auto "
+                        "per image+process)")
+    parser.add_argument("--profile_dir", type=str, default="",
+                        help="Write a jax.profiler trace of the run "
+                        "into this directory")
     parser.add_argument("--relay_bf16", action="store_true",
                         help="Ship tiles to the device as bfloat16 "
                         "(half the host->device bytes; ~0.4%% pixel "
@@ -369,6 +379,8 @@ def main(argv=None) -> int:
         img_size=args.imgsize, score_thr=args.scoreThr,
         iou_thr=args.iouThr, pre_nms=args.pre_nms,
         relay_dtype="bfloat16" if args.relay_bf16 else "float32",
+        resume=args.resume, spool_path=args.spool_path,
+        profile_dir=args.profile_dir,
         merge_overlap_iou_thr_soft=args.merge_overlap_iou_thr_soft,
         merge_overlap_iou_thr_hard=args.merge_overlap_iou_thr_hard,
         split_image_in_tiles=args.split_img_in_tiles,
