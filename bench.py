@@ -158,10 +158,11 @@ def bench_train():
     iters = int(os.environ.get("BENCH_ITERS", "20"))
 
     augment = os.environ.get("BENCH_AUG") == "1"
+    remat = os.environ.get("BENCH_REMAT") == "1"
     model = build_model(model_name, num_classes=5)
     params = init_params(model, seed=0)
     cfg = TrainConfig(epochs=1, batch_size=batch, img_size=img_size,
-                      max_gt=4, warmup_epochs=0.0)
+                      max_gt=4, warmup_epochs=0.0, remat=remat)
     trainer = Trainer(model, params, cfg, steps_per_epoch=iters)
 
     rng = np.random.default_rng(0)
@@ -207,6 +208,7 @@ def bench_train():
     print(json.dumps({
         "metric": (f"{model_name}@{img_size} train"
                    + ("+augment" if augment else "")
+                   + ("+remat" if remat else "")
                    + " imgs/sec/chip"),
         "value": round(rate, 2),
         "unit": "imgs/s",

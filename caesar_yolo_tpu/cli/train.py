@@ -39,6 +39,9 @@ def parse_args(argv=None):
     p.add_argument("--flipud", type=float, default=0.5)
     p.add_argument("--fliplr", type=float, default=0.5)
     p.add_argument("--no_augment", action="store_true")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize layer activations in backward "
+                        "(train l/x scales at full batch on one chip)")
     p.add_argument("--fp32", action="store_true",
                    help="train in float32 (default is bf16 mixed "
                         "precision, the ultralytics-AMP analog)")
@@ -107,7 +110,7 @@ def main(argv=None) -> int:
                                seed=args.seed)
     cfg = TrainConfig(epochs=args.epochs, batch_size=batch,
                       img_size=args.imgsz, lr0=args.lr0, lrf=args.lrf,
-                      max_gt=args.max_gt,
+                      max_gt=args.max_gt, remat=args.remat,
                       compute_dtype="float32" if args.fp32 else "bfloat16")
     mesh = make_mesh() if n_dev > 1 else None
     trainer = Trainer(model, params, cfg, mesh=mesh,

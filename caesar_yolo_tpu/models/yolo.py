@@ -267,8 +267,16 @@ class YOLO:
 
     # -- forward ------------------------------------------------------------
 
-    def forward_features(self, params, x):
-        """Run backbone+neck; returns the 3 FPN feature maps (P3, P4, P5)."""
+    def forward_features(self, params, x, *, remat: bool = False):
+        """Run backbone+neck; returns the 3 FPN feature maps (P3, P4, P5).
+
+        remat=True wraps each parameterized layer in jax.checkpoint:
+        block-internal activations (C2f/C3k2 hidden convs — the bulk of
+        training-time HBM) are dropped after the forward pass and
+        recomputed during backward.  The layer OUTPUTS in `saved` are
+        skip-connection residuals that must live regardless, so per-layer
+        granularity is the natural checkpoint boundary for this graph.
+        """
         saved = {}
         prev = x
         for i, spec in enumerate(self.layers):
@@ -276,14 +284,19 @@ class YOLO:
             p = params.get(spec.name, {})
             if isinstance(spec.module, Concat):
                 prev = spec.module(p, inputs)
+            elif remat and p:
+                prev = jax.checkpoint(
+                    lambda pp, xx, m=spec.module: m(pp, xx))(p, inputs[0])
             else:
                 prev = spec.module(p, inputs[0])
             saved[i] = prev
         return tuple(saved[i] for i in self.out_idx)
 
-    def __call__(self, params, x):
+    def __call__(self, params, x, *, remat: bool = False):
         """Full raw forward: ((box_l, cls_l) for l in P3,P4,P5)."""
-        feats = self.forward_features(params, x)
+        feats = self.forward_features(params, x, remat=remat)
+        if remat:
+            return jax.checkpoint(self.head.__call__)(params["head"], feats)
         return self.head(params["head"], feats)
 
     # -- decode -------------------------------------------------------------

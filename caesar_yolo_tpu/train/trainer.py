@@ -54,6 +54,12 @@ class TrainConfig:
     # compute in bf16 on the MXU, master params/grads/optimizer state and
     # all loss math in f32.  "float32" opts out (CPU tests, debugging).
     compute_dtype: str = "bfloat16"
+    # Rematerialization: per-layer jax.checkpoint on the forward pass —
+    # block-internal activations are recomputed in backward instead of
+    # held in HBM.  Enables the reference's flagship recipe (yolov8l
+    # @640 batch 16, macros/run_train.py:11,20-45) on a single chip at
+    # the cost of one extra forward's FLOPs.
+    remat: bool = False
 
 
 def _is_decayed(path) -> bool:
@@ -144,7 +150,8 @@ class Trainer:
 
         def loss_fn(params, images, gt_labels, gt_bboxes, mask_gt):
             with layers.train_mode():
-                raw = model(params, images.astype(compute_dtype))
+                raw = model(params, images.astype(compute_dtype),
+                            remat=cfg.remat)
             total, parts = detection_loss(
                 raw, gt_labels, gt_bboxes, mask_gt, img_size=cfg.img_size,
                 box_gain=cfg.box_gain, cls_gain=cfg.cls_gain,

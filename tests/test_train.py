@@ -174,6 +174,56 @@ def test_trainer_step_updates_state(tiny_setup):
     assert d_params > 0 and np.isfinite(d_ema) and d_ema <= d_params
 
 
+def test_remat_forward_and_grads_match(tiny_setup):
+    """Rematerialized training must be a pure memory/FLOP trade: the
+    forward outputs and every gradient leaf match the plain formulation
+    exactly (jax.checkpoint recomputes the same deterministic ops)."""
+    model, params, images, gl, gb, mg = tiny_setup
+    x = jnp.asarray(images)
+
+    raw_plain = model(params, x)
+    raw_remat = model(params, x, remat=True)
+    for (b0, c0), (b1, c1) in zip(raw_plain, raw_remat):
+        np.testing.assert_array_equal(np.asarray(b0), np.asarray(b1))
+        np.testing.assert_array_equal(np.asarray(c0), np.asarray(c1))
+
+    from caesar_yolo_tpu.models import layers
+
+    def f(p, remat):
+        with layers.train_mode():
+            raw = model(p, x, remat=remat)
+        return detection_loss(raw, gl, gb, mg, img_size=64)[0]
+
+    # under jit the two programs fuse differently (checkpoint is a
+    # fusion boundary), so f32 reassociation drifts at the ulp scale —
+    # the un-jitted forward comparison above is the bit-exactness check
+    l0, g0 = jax.jit(jax.value_and_grad(lambda p: f(p, False)))(params)
+    l1, g1 = jax.jit(jax.value_and_grad(lambda p: f(p, True)))(params)
+    assert float(l0) == pytest.approx(float(l1), rel=1e-4)
+    for leaf0, leaf1 in zip(jax.tree_util.tree_leaves(g0),
+                            jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(leaf0), np.asarray(leaf1),
+                                   rtol=1e-3, atol=1e-4)
+
+
+def test_trainer_step_remat(tiny_setup):
+    """The trainer wires cfg.remat through to the model: steps run and
+    produce finite losses identical in kind to the plain path."""
+    model, params, images, gl, gb, mg = tiny_setup
+    cfg = TrainConfig(epochs=1, batch_size=2, img_size=64, lr0=1e-3,
+                      warmup_epochs=0.0, remat=True,
+                      compute_dtype="float32")
+    trainer = Trainer(model, params, cfg, steps_per_epoch=4)
+    loss, _ = trainer.train_step(images, gl, gb, mg)
+    assert np.isfinite(float(loss))
+    cfg0 = TrainConfig(epochs=1, batch_size=2, img_size=64, lr0=1e-3,
+                       warmup_epochs=0.0, remat=False,
+                       compute_dtype="float32")
+    trainer0 = Trainer(model, params, cfg0, steps_per_epoch=4)
+    loss0, _ = trainer0.train_step(images, gl, gb, mg)
+    assert float(loss) == pytest.approx(float(loss0), rel=1e-4)
+
+
 def test_trainer_checkpoint_roundtrip(tmp_path, tiny_setup):
     model, params, images, gl, gb, mg = tiny_setup
     cfg = TrainConfig(epochs=1, batch_size=2, img_size=64)
