@@ -118,6 +118,10 @@ def evaluate_dataset(model, params, filelist, *,
 
     report = compute_metrics(gt_list, pred_list, iou_thr)
     logger.info("Evaluation summary:\n%s", report.summary())
+    from caesar_yolo_tpu.evaluation.metrics import compute_map
+    map_report = compute_map(gt_list, pred_list)
+    logger.info("Average precision:\n%s", map_report.summary())
+    report.map = map_report
     if detail_out:
         import json
 

@@ -45,6 +45,7 @@ class MetricsReport:
     completeness: dict = field(default_factory=dict)
     reliability: dict = field(default_factory=dict)
     f1: dict = field(default_factory=dict)
+    map: "MAPReport | None" = None  # filled by evaluate_dataset
 
     def summary(self) -> str:
         lines = []
@@ -140,6 +141,123 @@ def compute_metrics(gt_list, pred_list, iou_thr: float = 0.6) -> MetricsReport:
         f1[key] = (2 * c * r / (c + r)
                    if c >= 0 and r >= 0 and (c + r) > 0 else float("nan"))
     return MetricsReport(completeness=comp, reliability=rel, f1=f1)
+
+
+def _ap_from_curve(recall, precision) -> float:
+    """Area under the precision envelope, 101-point interpolation (the
+    COCO scheme ultralytics' compute_ap uses — the metric the reference's
+    delegated trainer reports at validation, macros/run_train.py:20-45)."""
+    # the closing zero-precision sentinel sits just PAST the last
+    # achieved recall (not at 1.0), so a detector that reaches recall r
+    # keeps its precision on [0, r] — and a perfect detector scores 1.0
+    last = recall[-1] if len(recall) else 0.0
+    mrec = np.concatenate(([0.0], recall, [last + 0.01]))
+    mpre = np.concatenate(([1.0], precision, [0.0]))
+    mpre = np.flip(np.maximum.accumulate(np.flip(mpre)))
+    x = np.linspace(0.0, 1.0, 101)
+    return float(np.trapezoid(np.interp(x, mrec, mpre), x))
+
+
+def match_predictions(pred_boxes, pred_cls, gt_boxes, gt_cls, iou_thrs):
+    """Per-image class-constrained greedy matching.
+
+    Returns tp[N_pred, T] bool: prediction i is a true positive at IoU
+    threshold t.  Matches are assigned in descending-IoU order with each
+    gt and each prediction used at most once (ultralytics
+    match_predictions semantics)."""
+    n, t_count = len(pred_boxes), len(iou_thrs)
+    tp = np.zeros((n, t_count), bool)
+    if n == 0 or len(gt_boxes) == 0:
+        return tp
+    iou = iou_matrix_np(np.asarray(pred_boxes, np.float64),
+                        np.asarray(gt_boxes, np.float64))
+    same = np.asarray(pred_cls)[:, None] == np.asarray(gt_cls)[None, :]
+    iou = np.where(same, iou, 0.0)
+    for t, thr in enumerate(iou_thrs):
+        cand = np.argwhere(iou >= thr)
+        if cand.size == 0:
+            continue
+        order = np.argsort(-iou[cand[:, 0], cand[:, 1]])
+        used_p = np.zeros(n, bool)
+        used_g = np.zeros(len(gt_boxes), bool)
+        for k in order:
+            p, g = cand[k]
+            if used_p[p] or used_g[g]:
+                continue
+            used_p[p] = used_g[g] = True
+            tp[p, t] = True
+    return tp
+
+
+@dataclass
+class MAPReport:
+    """COCO-style average precision over IoU thresholds 0.50:0.95."""
+    per_class_ap50: dict = field(default_factory=dict)
+    per_class_ap: dict = field(default_factory=dict)     # mean over thrs
+    map50: float = float("nan")
+    map75: float = float("nan")
+    map50_95: float = float("nan")
+
+    def summary(self) -> str:
+        lines = [f"mAP50={self.map50:.4f} mAP75={self.map75:.4f} "
+                 f"mAP50-95={self.map50_95:.4f}"]
+        for k in sorted(self.per_class_ap):
+            lines.append(f"  {k}: AP50={self.per_class_ap50[k]:.4f} "
+                         f"AP50-95={self.per_class_ap[k]:.4f}")
+        return "\n".join(lines)
+
+
+def compute_map(gt_list, pred_list, iou_thrs=None) -> MAPReport:
+    """Dataset mAP from the same per-image gt/pred dicts compute_metrics
+    takes; predictions must carry 'scores'.  Classes are label strings;
+    the means run over classes that appear in the ground truth
+    (ultralytics convention — classes with gt but no predictions score
+    AP=0, prediction-only classes don't dilute the mean)."""
+    if iou_thrs is None:
+        iou_thrs = np.arange(0.50, 0.96, 0.05)
+    iou_thrs = np.asarray(iou_thrs)
+
+    tps, confs, pcls = [], [], []
+    n_gt: dict[str, int] = {}
+    for gt, pred in zip(gt_list, pred_list):
+        for label in gt["labels"]:
+            n_gt[label] = n_gt.get(label, 0) + 1
+        npred = len(pred["bboxes"])
+        if npred:
+            tps.append(match_predictions(
+                pred["bboxes"], list(pred["labels"]),
+                gt["bboxes"], list(gt["labels"]), iou_thrs))
+            confs.append(np.asarray(pred["scores"], np.float64))
+            pcls.extend(pred["labels"])
+    report = MAPReport()
+    if not n_gt:
+        return report
+    tp = (np.concatenate(tps) if tps
+          else np.zeros((0, len(iou_thrs)), bool))
+    conf = np.concatenate(confs) if confs else np.zeros((0,))
+    pcls = np.asarray(pcls, object)
+
+    order = np.argsort(-conf)
+    tp, pcls = tp[order], pcls[order]
+
+    i75 = int(np.argmin(np.abs(iou_thrs - 0.75)))
+    ap75 = []
+    for label, total in n_gt.items():
+        sel = pcls == label
+        tpc = np.cumsum(tp[sel], axis=0)                   # [n_c, T]
+        fpc = np.cumsum(~tp[sel], axis=0)
+        recall = tpc / total
+        precision = tpc / np.maximum(tpc + fpc, 1e-16)
+        aps = np.asarray(
+            [_ap_from_curve(recall[:, t], precision[:, t])
+             if sel.any() else 0.0 for t in range(len(iou_thrs))])
+        report.per_class_ap50[label] = float(aps[0])
+        report.per_class_ap[label] = float(aps.mean())
+        ap75.append(float(aps[i75]))
+    report.map50 = float(np.mean(list(report.per_class_ap50.values())))
+    report.map50_95 = float(np.mean(list(report.per_class_ap.values())))
+    report.map75 = float(np.mean(ap75))
+    return report
 
 
 def per_image_match_detail(keys, gt_list, pred_list,

@@ -185,3 +185,92 @@ def test_batched_detector_heterogeneous_shapes_bounded():
     out = det.detect_many(list(imgs), lambda k: imgs[k])
     assert len(out) == 7
     assert all(v is not None and v[3] for v in out.values())
+
+
+# ---- mAP (COCO-style AP over IoU 0.50:0.95, ultralytics semantics) ----
+
+from caesar_yolo_tpu.evaluation import compute_map  # noqa: E402
+
+
+def test_map_perfect_detections():
+    gt, pred = _img([[0, 0, 10, 10], [20, 20, 40, 40]],
+                    ["compact", "extended"],
+                    [[0, 0, 10, 10], [20, 20, 40, 40]],
+                    ["compact", "extended"], scores=[0.9, 0.8])
+    m = compute_map([gt], [pred])
+    assert m.map50 == 1.0 and m.map75 == 1.0 and m.map50_95 == 1.0
+    assert m.per_class_ap["compact"] == 1.0
+
+
+def test_map_wrong_class_never_matches():
+    gt, pred = _img([[0, 0, 10, 10]], ["compact"],
+                    [[0, 0, 10, 10]], ["extended"], scores=[0.9])
+    m = compute_map([gt], [pred])
+    assert m.map50 == 0.0 and m.map50_95 == 0.0
+
+
+def test_map_localization_quality_graded_by_threshold():
+    # pred overlaps gt with IoU ~0.667: TP at thresholds .50/.55/.60/.65,
+    # FP at .70+, so AP50=1 and mAP50-95 = 4/10
+    gt, pred = _img([[0, 0, 10, 30]], ["compact"],
+                    [[0, 5, 10, 25]], ["compact"], scores=[0.9])
+    m = compute_map([gt], [pred])
+    assert m.map50 == 1.0
+    assert m.map75 == 0.0
+    assert abs(m.map50_95 - 0.4) < 1e-9
+
+
+def test_map_false_positive_after_tp_halves_late_precision():
+    # one gt, two preds: high-conf TP then low-conf FP.  The PR curve is
+    # (r=1, p=1) then (r=1, p=0.5): recall is already saturated when the
+    # FP arrives, so AP50 stays near 1 (the shared recall point dips the
+    # last interpolation segment -- exact ultralytics behavior)
+    gt, pred = _img([[0, 0, 10, 10]], ["compact"],
+                    [[0, 0, 10, 10], [50, 50, 60, 60]],
+                    ["compact", "compact"], scores=[0.9, 0.3])
+    m = compute_map([gt], [pred])
+    assert 0.99 <= m.per_class_ap50["compact"] < 1.0
+
+
+def test_map_confidence_ordering_matters():
+    # same boxes, but the FP outranks the TP: precision at recall 0.5+
+    # is capped at 1/2 -> AP50 ~ 0.5 (101-pt interp includes r=0 env)
+    gt, pred = _img([[0, 0, 10, 10]], ["compact"],
+                    [[50, 50, 60, 60], [0, 0, 10, 10]],
+                    ["compact", "compact"], scores=[0.9, 0.3])
+    m = compute_map([gt], [pred])
+    assert 0.45 <= m.per_class_ap50["compact"] <= 0.55
+
+
+def test_map_duplicate_detections_one_tp():
+    # two predictions on the same gt: greedy matching marks exactly one
+    # TP per threshold; the duplicate is a FP
+    gt, pred = _img([[0, 0, 10, 10]], ["compact"],
+                    [[0, 0, 10, 10], [0, 0, 10, 10]],
+                    ["compact", "compact"], scores=[0.9, 0.8])
+    m = compute_map([gt], [pred])
+    # the duplicate FP shares the TP's recall point, so the very end of
+    # the interpolated curve dips (exact ultralytics behavior): near-1
+    assert 0.99 <= m.per_class_ap50["compact"] < 1.0
+    from caesar_yolo_tpu.evaluation.metrics import match_predictions
+    tp = match_predictions(pred["bboxes"], pred["labels"],
+                           gt["bboxes"], gt["labels"],
+                           np.asarray([0.5]))
+    assert tp.sum() == 1
+
+
+def test_map_gt_class_without_predictions_scores_zero():
+    gt, pred = _img([[0, 0, 10, 10], [20, 20, 30, 30]],
+                    ["compact", "extended"],
+                    [[0, 0, 10, 10]], ["compact"], scores=[0.9])
+    m = compute_map([gt], [pred])
+    assert m.per_class_ap["extended"] == 0.0
+    assert m.map50 == 0.5  # mean over the two gt classes
+
+
+def test_map_empty_inputs():
+    m = compute_map([], [])
+    assert np.isnan(m.map50)
+    gt, pred = _img([], [], [], [])
+    m = compute_map([gt], [pred])
+    assert np.isnan(m.map50)
