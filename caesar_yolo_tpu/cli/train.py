@@ -56,6 +56,13 @@ def parse_args(argv=None):
     p.add_argument("--val_score_thr", type=float, default=0.25)
     p.add_argument("--val_iou_match", type=float, default=0.6)
     p.add_argument("--val_max_images", type=int, default=200)
+    p.add_argument("--gate_metric", choices=["f1", "fitness"],
+                   default="f1",
+                   help="best-checkpoint criterion: 'f1' = source F1 "
+                        "(the reference's published metric) or "
+                        "'fitness' = 0.1*mAP50 + 0.9*mAP50-95 (the "
+                        "criterion ultralytics' trainer uses for "
+                        "best.pt)")
     return p.parse_args(argv)
 
 
@@ -145,10 +152,10 @@ def main(argv=None) -> int:
             score_thr=args.val_score_thr, batch_size=min(batch, 32))
         logger.info("Validating on %d images every %d epoch(s)",
                     len(val_paths), max(args.val_every, 1))
-    best_f1 = -1.0
+    best_metric = -1.0
 
     def run_validation(epoch, calibrate=True):
-        nonlocal best_f1
+        nonlocal best_metric
         import itertools
 
         from caesar_yolo_tpu.evaluation import evaluate_dataset
@@ -166,13 +173,18 @@ def main(argv=None) -> int:
         f1 = report.f1.get("source", 0.0)
         if f1 is None or not np.isfinite(f1):
             f1 = 0.0  # no predictions yet -> define F1 as 0
-        logger.info("epoch %d val F1(source)=%.4f\n%s", epoch, f1,
-                    report.summary())
-        if f1 > best_f1:
-            best_f1 = f1
+        fitness = 0.0
+        if report.map is not None and np.isfinite(report.map.map50):
+            # ultralytics' best.pt criterion (DetMetrics.fitness)
+            fitness = 0.1 * report.map.map50 + 0.9 * report.map.map50_95
+        logger.info("epoch %d val F1(source)=%.4f fitness=%.4f\n%s",
+                    epoch, f1, fitness, report.summary())
+        metric = fitness if args.gate_metric == "fitness" else f1
+        if metric > best_metric:
+            best_metric = metric
             trainer.save_checkpoint(args.checkpoint_dir, step=epoch,
                                     name="best")
-        return f1
+        return metric
 
     for epoch in range(args.epochs):
         trainer.fit(augmented(epoch), epochs=1,

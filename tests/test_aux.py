@@ -354,6 +354,21 @@ def test_train_cli_with_validation(tmp_path, monkeypatch):
     assert (tmp_path / "ckpt" / "last").exists()
 
 
+def test_train_cli_fitness_gate(tmp_path, monkeypatch):
+    """--gate_metric=fitness gates 'best' on 0.1*mAP50 + 0.9*mAP50-95
+    (the criterion ultralytics' trainer uses for best.pt)."""
+    _make_dataset(tmp_path, n=4, size=48)
+    monkeypatch.chdir(tmp_path)
+    from caesar_yolo_tpu.cli.train import main
+    rc = main([f"--data={tmp_path / 'images'}", "--model=yolov8n",
+               "--epochs=1", "--batch=2", "--imgsz=64", "--max_gt=8",
+               "--checkpoint_dir=ckpt", "--no_augment",
+               f"--val_data={tmp_path / 'images'}", "--val_every=1",
+               "--val_score_thr=0.5", "--gate_metric=fitness"])
+    assert rc == 0
+    assert (tmp_path / "ckpt" / "best").exists()
+
+
 def test_cli_datalist_draw_falls_back_to_analyzer(tmp_path, monkeypatch):
     """--datalist with plot flags must keep the per-image Analyzer
     behavior (plots written) instead of the batched catalog-only path."""
