@@ -132,7 +132,15 @@ def evaluate_dataset(model, params, filelist, *,
                                              iou_thr), f, indent=2)
         logger.info("Wrote per-image match detail to %s", detail_out)
     if plot_out:
-        from caesar_yolo_tpu.evaluation.metrics import save_report_figure
+        from caesar_yolo_tpu.evaluation.metrics import (
+            save_pr_figure,
+            save_report_figure,
+        )
         save_report_figure(report, plot_out)
         logger.info("Wrote metrics figure to %s", plot_out)
+        if map_report.pr_curves:
+            root, ext = os.path.splitext(plot_out)
+            pr_path = f"{root}_pr{ext or '.png'}"
+            save_pr_figure(map_report, pr_path)
+            logger.info("Wrote PR-curve figure to %s", pr_path)
     return report

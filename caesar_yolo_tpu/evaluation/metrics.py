@@ -197,6 +197,9 @@ class MAPReport:
     map50: float = float("nan")
     map75: float = float("nan")
     map50_95: float = float("nan")
+    # raw PR points at IoU=0.50 per class, in descending-confidence
+    # order: {label: (recall[n], precision[n])} — the PR_curve artifact
+    pr_curves: dict = field(default_factory=dict)
 
     def summary(self) -> str:
         lines = [f"mAP50={self.map50:.4f} mAP75={self.map75:.4f} "
@@ -253,6 +256,8 @@ def compute_map(gt_list, pred_list, iou_thrs=None) -> MAPReport:
              if sel.any() else 0.0 for t in range(len(iou_thrs))])
         report.per_class_ap50[label] = float(aps[0])
         report.per_class_ap[label] = float(aps.mean())
+        report.pr_curves[label] = (recall[:, 0].copy(),
+                                   precision[:, 0].copy())
         ap75.append(float(aps[i75]))
     report.map50 = float(np.mean(list(report.per_class_ap50.values())))
     report.map50_95 = float(np.mean(list(report.per_class_ap.values())))
@@ -319,6 +324,33 @@ def save_report_figure(report: MetricsReport, path: str):
     ax.set_ylim(0, 1.05)
     ax.legend()
     ax.set_title("Detection quality per class")
+    fig.tight_layout()
+    fig.savefig(path, dpi=120)
+    plt.close(fig)
+
+
+def save_pr_figure(map_report: MAPReport, path: str):
+    """Per-class precision-recall curves at IoU=0.50 with AP in the
+    legend (the PR_curve.png artifact ultralytics' validator saves)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(figsize=(6, 5))
+    for label in sorted(map_report.pr_curves):
+        recall, precision = map_report.pr_curves[label]
+        # prepend the (0, p0) start so single-point curves draw a line
+        r = np.concatenate(([0.0], recall))
+        p = np.concatenate(([precision[0] if len(precision) else 1.0],
+                            precision))
+        ax.plot(r, p, linewidth=1.5,
+                label=f"{label} AP50={map_report.per_class_ap50[label]:.3f}")
+    ax.set_xlabel("recall")
+    ax.set_ylabel("precision")
+    ax.set_xlim(0, 1.0)
+    ax.set_ylim(0, 1.05)
+    ax.legend(loc="lower left", fontsize=8)
+    ax.set_title(f"Precision-Recall (IoU=0.50), mAP50={map_report.map50:.3f}")
     fig.tight_layout()
     fig.savefig(path, dpi=120)
     plt.close(fig)

@@ -274,3 +274,19 @@ def test_map_empty_inputs():
     gt, pred = _img([], [], [], [])
     m = compute_map([gt], [pred])
     assert np.isnan(m.map50)
+
+
+def test_pr_curve_figure(tmp_path):
+    from caesar_yolo_tpu.evaluation.metrics import save_pr_figure
+    gt, pred = _img([[0, 0, 10, 10], [20, 20, 30, 30]],
+                    ["compact", "extended"],
+                    [[0, 0, 10, 10], [20, 20, 30, 30], [50, 50, 60, 60]],
+                    ["compact", "extended", "compact"],
+                    scores=[0.9, 0.8, 0.3])
+    m = compute_map([gt], [pred])
+    assert set(m.pr_curves) == {"compact", "extended"}
+    rec, prec = m.pr_curves["compact"]
+    assert rec.tolist() == [1.0, 1.0] and prec.tolist() == [1.0, 0.5]
+    fig = tmp_path / "pr.png"
+    save_pr_figure(m, str(fig))
+    assert fig.stat().st_size > 1000
