@@ -54,7 +54,13 @@ def bench_mosaic():
 
     size = int(os.environ.get("BENCH_MOSAIC_SIZE", "4096"))
     tile = int(os.environ.get("BENCH_TILE", "640"))
+    step = float(os.environ.get("BENCH_STEP", "1.0"))
     model_name = os.environ.get("BENCH_MODEL", "yolov8n")
+    # BENCH_DEVICE_TILING=0 forces the streaming windowed-read path
+    # (the pre-device-tiling baseline); default "auto" ships the mosaic
+    # to HBM once and slices windows in-graph
+    devtile = ("off" if os.environ.get("BENCH_DEVICE_TILING") == "0"
+               else "auto")
 
     workdir = tempfile.mkdtemp(prefix="bench_mosaic_")
     path = os.path.join(workdir, "mosaic.fits")
@@ -68,7 +74,8 @@ def bench_mosaic():
         image_path=path, image_xmin=-1, image_xmax=-1, image_ymin=-1,
         image_ymax=-1, img_size=640, score_thr=0.7,
         split_image_in_tiles=True, tile_xsize=tile, tile_ysize=tile,
-        tile_xstep=1.0, tile_ystep=1.0, batch_size=16,
+        tile_xstep=step, tile_ystep=step, batch_size=16,
+        device_tiling=devtile, max_ntasks_per_worker=10000,
         relay_dtype=("bfloat16" if os.environ.get("BENCH_RELAY") == "bf16"
                      else "float32"),
         outfile_json=os.path.join(workdir, "catalog.json"),
@@ -82,7 +89,10 @@ def bench_mosaic():
     assert rc == 0
     mpix_s = size * size / 1e6 / sf.report.runtime_s
     print(json.dumps({
-        "metric": f"{model_name} tiled mosaic Mpix/sec (e2e incl. IO+stitch)",
+        "metric": (f"{model_name} tiled mosaic"
+                   + (f" step={step}" if step != 1.0 else "")
+                   + (" hostread" if devtile == "off" else "")
+                   + " Mpix/sec (e2e incl. IO+stitch)"),
         "value": round(mpix_s, 2),
         "unit": "Mpix/s",
         "vs_baseline": round(mpix_s * 1e6 / (tile * tile) / 500.0, 3),

@@ -67,6 +67,12 @@ def parse_args(argv=None):
     parser.add_argument("--profile_dir", type=str, default="",
                         help="Write a jax.profiler trace of the run "
                         "into this directory")
+    parser.add_argument("--device_tiling", choices=["auto", "on", "off"],
+                        default="auto",
+                        help="Ship the mosaic to HBM once and extract "
+                        "tile windows on-device (auto: when the mosaic "
+                        "fits the HBM cap; overlapping grids ship up to "
+                        "4x fewer host->device bytes)")
     parser.add_argument("--relay_bf16", action="store_true",
                         help="Ship tiles to the device as bfloat16 "
                         "(half the host->device bytes; ~0.4%% pixel "
@@ -379,6 +385,7 @@ def main(argv=None) -> int:
         img_size=args.imgsize, score_thr=args.scoreThr,
         iou_thr=args.iouThr, pre_nms=args.pre_nms,
         relay_dtype="bfloat16" if args.relay_bf16 else "float32",
+        device_tiling=args.device_tiling,
         resume=args.resume, spool_path=args.spool_path,
         profile_dir=args.profile_dir,
         merge_overlap_iou_thr_soft=args.merge_overlap_iou_thr_soft,

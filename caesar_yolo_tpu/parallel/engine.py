@@ -182,3 +182,64 @@ class TileEngine:
 
     def process(self, tiles):
         return tuple(np.asarray(o) for o in self.process_async(tiles))
+
+    # -- device-resident mosaic tiling ---------------------------------------
+
+    def put_mosaic(self, mosaic: np.ndarray):
+        """Ship the full mosaic [H, W] to HBM ONCE (in the relay dtype).
+
+        Device-resident tiling: tile windows are then extracted in-graph
+        (process_mosaic_async) instead of shipped per tile, so each
+        mosaic pixel crosses the host->device link exactly once — an
+        overlapping grid (tile step < 1) ships 2-4x fewer bytes than the
+        per-window path, and the disk read collapses to one sequential
+        pass (the reference re-reads every window including its halo
+        from disk, inference.py:190-195)."""
+        if mosaic.dtype != self.relay_np_dtype:
+            mosaic = mosaic.astype(self.relay_np_dtype)
+        if self.mesh is not None:
+            return jax.device_put(mosaic, replicated_sharding(self.mesh))
+        return jax.device_put(mosaic)
+
+    def _build_mosaic(self, tile_shape, batch):
+        h, w = tile_shape
+        step = make_tile_step(
+            self.model, preprocessor=self.preprocessor,
+            img_size=self.img_size, score_thr=self.score_thr,
+            iou_thr=self.iou_thr, max_det=self.max_det,
+            pre_nms=self.pre_nms, compute_dtype=self.compute_dtype)
+        bsh = batch_sharding(self.mesh) if self.mesh is not None else None
+
+        def mstep(params, mosaic, origins):
+            # static-size dynamic_slice per tile via lax.map (sequential
+            # HBM copies — NOT a vmapped slice, whose gather lowering is
+            # catastrophically slow on TPU; cf. train/augment.py note 8)
+            def extract(o):
+                return jax.lax.dynamic_slice(mosaic, (o[0], o[1]), (h, w))
+
+            tiles = jax.lax.map(extract, origins)[..., None]
+            if bsh is not None:
+                # extraction runs replicated (cheap copies); pin the
+                # batch sharding here so the conv work is data-parallel
+                tiles = jax.lax.with_sharding_constraint(tiles, bsh)
+            return step(params, tiles)
+
+        if self.mesh is not None:
+            rsh = replicated_sharding(self.mesh)
+            return jax.jit(mstep, in_shardings=(rsh, rsh, rsh),
+                           out_shardings=(bsh,) * 6)
+        return jax.jit(mstep)
+
+    def process_mosaic_async(self, mosaic_dev, origins: np.ndarray,
+                             tile_shape: tuple[int, int]):
+        """Detect a batch of tiles sliced from the device-resident mosaic.
+
+        origins[B, 2] int32 (ymin, xmin) in mosaic-array coordinates; all
+        B windows share tile_shape=(h, w).  Same outputs as process()."""
+        origins = jnp.asarray(np.asarray(origins, np.int32))
+        key = ("mosaic", tile_shape, int(origins.shape[0]),
+               str(mosaic_dev.dtype))
+        if key not in self._compiled:
+            self._compiled[key] = self._build_mosaic(
+                tile_shape, int(origins.shape[0]))
+        return self._compiled[key](self.params, mosaic_dev, origins)

@@ -113,6 +113,16 @@ class SFinderConfig:
     # (full f32 range, 8-bit mantissa) for link-bound hosts; default
     # stays exact f32 — see TileEngine.relay_dtype
     relay_dtype: str = "float32"
+    # Device-resident tiling ("auto"|"on"|"off"): ship the mosaic to HBM
+    # ONCE and extract tile windows in-graph (TileEngine.put_mosaic /
+    # process_mosaic_async) instead of shipping each window — an
+    # overlapping grid (tile step < 1) re-ships every overlap pixel on
+    # the per-window path, so device tiling cuts host->device bytes by
+    # the overlap factor (4x at step 0.5) and collapses the disk IO to
+    # one sequential read.  "auto" = FITS mosaics whose pixels fit the
+    # cap below; falls back to the streaming windowed-read path.
+    device_tiling: str = "auto"
+    device_tiling_max_bytes: int = 2 * 1024 * 1024 * 1024
 
 
 @dataclass
@@ -407,6 +417,30 @@ class SFinder:
             return local_mesh()
         return self.mesh
 
+    def _load_device_mosaic(self, engine: TileEngine):
+        """The host-side mosaic (crop) array for device-resident tiling,
+        or None when the feature is off / too large / unreadable (the
+        caller then streams windowed reads instead)."""
+        cfg = self.config
+        if cfg.device_tiling == "off":
+            return None
+        nbytes = self.nx * self.ny * engine.relay_np_dtype.itemsize
+        if cfg.device_tiling != "on" and nbytes > cfg.device_tiling_max_bytes:
+            logger.info(
+                "Device tiling skipped: mosaic is %.1f MB in HBM "
+                "(> device_tiling_max_bytes=%d); streaming windowed "
+                "reads instead", nbytes / 1e6, cfg.device_tiling_max_bytes)
+            return None
+        res = read_fits_crop(cfg.image_path, self.xmin, self.xmax + 1,
+                             self.ymin, self.ymax + 1, strip_deg_axis=True)
+        if res is None or np.asarray(res[0]).ndim != 2:
+            logger.warning("Device tiling skipped: full mosaic read "
+                           "failed; streaming windowed reads instead")
+            return None
+        logger.info("Device tiling: shipping the %dx%d mosaic to HBM "
+                    "once (%.1f MB)", self.ny, self.nx, nbytes / 1e6)
+        return np.asarray(res[0], np.float32)
+
     def _detect_tiles(self, engine: TileEngine, tiles: list[TileWindow]):
         """Shape-grouped, batch-padded, prefetched tile detection."""
         import json
@@ -492,12 +526,43 @@ class SFinder:
                 spool.write(json.dumps(tr) + "\n")
             spool.flush()
 
+        results = []
+        mosaic_np = self._load_device_mosaic(engine) if groups else None
+        if mosaic_np is not None:
+            # Device-resident tiling: the mosaic crosses the link ONCE;
+            # windows are extracted in-graph (TileEngine.put_mosaic /
+            # process_mosaic_async), so an overlapping grid ships no
+            # pixel twice and the disk IO is one sequential read.
+            from collections import deque
+            mosaic_dev = engine.put_mosaic(mosaic_np)
+            device_groups, groups = groups, {}
+            for (h, w), group in device_groups.items():
+                pending = deque()
+                for i in range(0, len(group), batch):
+                    tile_batch = group[i:i + batch]
+                    origins = np.zeros((batch, 2), np.int32)
+                    for k, t in enumerate(tile_batch):
+                        origins[k] = (t.ymin - self.ymin,
+                                      t.xmin - self.xmin)
+                    if cfg.save_tile_img:
+                        for t in tile_batch:
+                            arrs_by_tid[t.tid] = mosaic_np[
+                                t.ymin - self.ymin:t.ymax - self.ymin,
+                                t.xmin - self.xmin:t.xmax - self.xmin]
+                    pending.append((list(tile_batch),
+                                    engine.process_mosaic_async(
+                                        mosaic_dev, origins, (h, w))))
+                    self.report.max_inflight_batches = max(
+                        self.report.max_inflight_batches, len(pending))
+                    if len(pending) > 2:
+                        drain(pending.popleft())
+                while pending:
+                    drain(pending.popleft())
         # Streaming pipeline with BOUNDED memory: at most 2 read futures
         # in flight and at most 2 device batches undrained, whatever the
         # mosaic size (the reference reads one tile window at a time and
         # never holds the mosaic, inference.py:190-195; a 100k-tile run
         # here holds ~4 batches, not 100k tiles).
-        results = []
         with ThreadPoolExecutor(max_workers=8) as pool:
             for (h, w), group in groups.items():
                 batches = [group[i:i + batch]

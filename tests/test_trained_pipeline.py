@@ -157,6 +157,76 @@ def test_evaluate_cli_with_trained_weights(tmp_path, monkeypatch):
     assert m and float(m.group(1)) >= 0.75, out
 
 
+def test_device_tiling_matches_host_path(tmp_path, trained, monkeypatch):
+    """Device-resident tiling (mosaic shipped to HBM once, windows
+    extracted in-graph) must produce the same catalog as the streaming
+    windowed-read host path — on an OVERLAPPING grid with truncated edge
+    tiles (two tile shapes), over the 8-device mesh."""
+    model, params = trained
+    monkeypatch.chdir(tmp_path)
+    path = str(tmp_path / "m3.fits")
+    rng = np.random.default_rng(11)
+    img = rng.normal(0.0, 0.08, (160, 160)).astype(np.float32)
+    yy, xx = np.mgrid[0:160, 0:160]
+    for cx, cy in [(48, 48), (120, 48), (80, 130), (84, 84)]:
+        img += 6.0 * np.exp(-((xx - cx) ** 2 + (yy - cy) ** 2)
+                            / (2 * 4.5 ** 2)).astype(np.float32)
+    from caesar_yolo_tpu.utils.fits import write_fits
+    write_fits(img, path)
+
+    def run(devtile, out):
+        cfg = SFinderConfig(
+            image_path=path, image_xmin=-1, image_xmax=-1, image_ymin=-1,
+            image_ymax=-1, img_size=96, score_thr=0.30,
+            split_image_in_tiles=True, tile_xsize=96, tile_ysize=96,
+            tile_xstep=0.75, tile_ystep=0.75, batch_size=8,
+            device_tiling=devtile,
+            outfile_json=str(tmp_path / out), save_region=False)
+        sf = SFinder(model, params, cfg, preprocessor=build_preprocessor(
+            normalize_minmax=True), mesh=make_mesh(),
+            engine_kwargs={"compute_dtype": jnp.float32})
+        assert sf.run_tiled() == 0
+        return json.loads((tmp_path / out).read_text())["sources"]
+
+    dev = run("on", "cat_dev.json")
+    host = run("off", "cat_host.json")
+    assert len(dev) == len(host) and len(dev) >= 4
+    key = lambda s: (s["x1"], s["y1"])
+    for d, h in zip(sorted(dev, key=key), sorted(host, key=key)):
+        assert d["class_id"] == h["class_id"]
+        np.testing.assert_allclose(
+            [d[k] for k in ("x1", "y1", "x2", "y2", "score")],
+            [h[k] for k in ("x1", "y1", "x2", "y2", "score")],
+            rtol=0, atol=1e-3)
+
+
+def test_engine_mosaic_slices_match_host_windows(trained):
+    """process_mosaic_async on device-extracted windows == process() on
+    host-sliced windows of the same mosaic (bit-level pixel parity of
+    the in-graph dynamic_slice extraction)."""
+    model, params = trained
+    from caesar_yolo_tpu.parallel.engine import TileEngine
+    rng = np.random.default_rng(13)
+    mosaic = rng.normal(0.0, 0.08, (128, 128)).astype(np.float32)
+    yy, xx = np.mgrid[0:96, 0:96]
+    mosaic[16:112, 16:112] += 6.0 * np.exp(
+        -((xx - 48) ** 2 + (yy - 48) ** 2) / (2 * 4.5 ** 2))
+    preproc = build_preprocessor(normalize_minmax=True)
+    eng = TileEngine(model, params, preprocessor=preproc, img_size=96,
+                     score_thr=0.30, compute_dtype=jnp.float32)
+    origins = np.asarray([[0, 0], [32, 32], [0, 32]], np.int32)
+    host = np.stack([mosaic[y:y + 96, x:x + 96] for y, x in origins])
+    o_host = eng.process(host[..., None])
+    o_dev = tuple(np.asarray(o) for o in eng.process_mosaic_async(
+        eng.put_mosaic(mosaic), origins, (96, 96)))
+    assert (o_host[3] == o_dev[3]).all()          # valid masks
+    assert o_host[3].sum() >= 1
+    np.testing.assert_allclose(o_dev[0][o_dev[3]], o_host[0][o_host[3]],
+                               atol=1e-4)
+    np.testing.assert_allclose(o_dev[1][o_dev[3]], o_host[1][o_host[3]],
+                               atol=1e-5)
+
+
 def test_relay_bf16_matches_f32(trained):
     """relay_dtype="bfloat16" (half host->device bytes) must find the
     same sources as the exact-f32 relay: bf16 keeps the full f32
