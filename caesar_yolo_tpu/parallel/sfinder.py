@@ -417,20 +417,36 @@ class SFinder:
             return local_mesh()
         return self.mesh
 
-    def _load_device_mosaic(self, engine: TileEngine):
-        """The host-side mosaic (crop) array for device-resident tiling,
-        or None when the feature is off / too large / unreadable (the
-        caller then streams windowed reads instead)."""
+    def _device_tiling_mode(self, engine: TileEngine) -> str | None:
+        """"full" (whole mosaic to HBM once), "band" (one full-width
+        band per grid row — the overlap win holds for mosaics past the
+        HBM cap, only the vertical overlap re-ships), or None (stream
+        windowed reads)."""
         cfg = self.config
         if cfg.device_tiling == "off":
             return None
-        nbytes = self.nx * self.ny * engine.relay_np_dtype.itemsize
-        if cfg.device_tiling != "on" and nbytes > cfg.device_tiling_max_bytes:
+        item = engine.relay_np_dtype.itemsize
+        if (cfg.device_tiling == "on"
+                or self.nx * self.ny * item <= cfg.device_tiling_max_bytes):
+            return "full"
+        if self.nx * cfg.tile_ysize * item <= cfg.device_tiling_max_bytes:
             logger.info(
-                "Device tiling skipped: mosaic is %.1f MB in HBM "
-                "(> device_tiling_max_bytes=%d); streaming windowed "
-                "reads instead", nbytes / 1e6, cfg.device_tiling_max_bytes)
-            return None
+                "Device tiling: mosaic exceeds the HBM cap; shipping "
+                "one %dpx-high full-width band per grid row instead",
+                cfg.tile_ysize)
+            return "band"
+        logger.info(
+            "Device tiling skipped: even one tile-row band exceeds "
+            "device_tiling_max_bytes=%d; streaming windowed reads",
+            cfg.device_tiling_max_bytes)
+        return None
+
+    def _load_device_mosaic(self, engine: TileEngine):
+        """The host-side mosaic (crop) array for device-resident tiling,
+        or None when it is unreadable (the caller then streams windowed
+        reads instead)."""
+        cfg = self.config
+        nbytes = self.nx * self.ny * engine.relay_np_dtype.itemsize
         res = read_fits_crop(cfg.image_path, self.xmin, self.xmax + 1,
                              self.ymin, self.ymax + 1, strip_deg_axis=True)
         if res is None or np.asarray(res[0]).ndim != 2:
@@ -527,7 +543,9 @@ class SFinder:
             spool.flush()
 
         results = []
-        mosaic_np = self._load_device_mosaic(engine) if groups else None
+        mode = self._device_tiling_mode(engine) if groups else None
+        mosaic_np = self._load_device_mosaic(engine) if mode == "full" \
+            else None
         if mosaic_np is not None:
             # Device-resident tiling: the mosaic crosses the link ONCE;
             # windows are extracted in-graph (TileEngine.put_mosaic /
@@ -556,6 +574,79 @@ class SFinder:
                         self.report.max_inflight_batches, len(pending))
                     if len(pending) > 2:
                         drain(pending.popleft())
+                while pending:
+                    drain(pending.popleft())
+        elif mode == "band":
+            # Banded device tiling for mosaics past the HBM cap: one
+            # full-width band per GRID ROW crosses the link (the grid's
+            # y windows are per-row constant, so a band covers its row's
+            # tiles exactly); horizontal overlap never re-ships, only
+            # the vertical tile overlap does.  Band reads prefetch one
+            # ahead; memory stays bounded at ~4 bands.
+            from collections import deque
+            bands: dict = {}
+            for (h, w), group in groups.items():
+                for t in group:
+                    bands.setdefault((t.ymin, t.ymax), {}) \
+                         .setdefault((h, w), []).append(t)
+            groups = {}
+            band_keys = sorted(bands)
+
+            def read_band(bk):
+                res = read_fits_crop(cfg.image_path, self.xmin,
+                                     self.xmax + 1, bk[0], bk[1],
+                                     strip_deg_axis=True)
+                if res is None or np.asarray(res[0]).ndim != 2:
+                    return None
+                return np.asarray(res[0], np.float32)
+
+            with ThreadPoolExecutor(max_workers=2) as bpool:
+                futs: deque = deque()
+                nxt = 0
+
+                def submit_band():
+                    nonlocal nxt
+                    if nxt < len(band_keys):
+                        futs.append((band_keys[nxt],
+                                     bpool.submit(read_band,
+                                                  band_keys[nxt])))
+                        nxt += 1
+
+                submit_band()
+                submit_band()
+                pending = deque()
+                while futs:
+                    bk, fut = futs.popleft()
+                    band_np = fut.result()
+                    submit_band()
+                    if band_np is None:
+                        # re-queue this row's tiles on the host path
+                        for shp, ts in bands[bk].items():
+                            groups.setdefault(shp, []).extend(ts)
+                        logger.warning(
+                            "Band read failed at rows [%d,%d); falling "
+                            "back to windowed reads for its tiles", *bk)
+                        continue
+                    band_dev = engine.put_mosaic(band_np)
+                    for (h, w), ts in bands[bk].items():
+                        for i in range(0, len(ts), batch):
+                            tb = ts[i:i + batch]
+                            origins = np.zeros((batch, 2), np.int32)
+                            for k, t in enumerate(tb):
+                                origins[k] = (0, t.xmin - self.xmin)
+                            if cfg.save_tile_img:
+                                for t in tb:
+                                    arrs_by_tid[t.tid] = band_np[
+                                        :, t.xmin - self.xmin:
+                                        t.xmax - self.xmin]
+                            pending.append(
+                                (list(tb), engine.process_mosaic_async(
+                                    band_dev, origins, (h, w))))
+                            self.report.max_inflight_batches = max(
+                                self.report.max_inflight_batches,
+                                len(futs) + len(pending))
+                            if len(pending) > 2:
+                                drain(pending.popleft())
                 while pending:
                     drain(pending.popleft())
         # Streaming pipeline with BOUNDED memory: at most 2 read futures

@@ -174,14 +174,14 @@ def test_device_tiling_matches_host_path(tmp_path, trained, monkeypatch):
     from caesar_yolo_tpu.utils.fits import write_fits
     write_fits(img, path)
 
-    def run(devtile, out):
+    def run(devtile, out, **kw):
         cfg = SFinderConfig(
             image_path=path, image_xmin=-1, image_xmax=-1, image_ymin=-1,
             image_ymax=-1, img_size=96, score_thr=0.30,
             split_image_in_tiles=True, tile_xsize=96, tile_ysize=96,
             tile_xstep=0.75, tile_ystep=0.75, batch_size=8,
             device_tiling=devtile,
-            outfile_json=str(tmp_path / out), save_region=False)
+            outfile_json=str(tmp_path / out), save_region=False, **kw)
         sf = SFinder(model, params, cfg, preprocessor=build_preprocessor(
             normalize_minmax=True), mesh=make_mesh(),
             engine_kwargs={"compute_dtype": jnp.float32})
@@ -190,14 +190,18 @@ def test_device_tiling_matches_host_path(tmp_path, trained, monkeypatch):
 
     dev = run("on", "cat_dev.json")
     host = run("off", "cat_host.json")
-    assert len(dev) == len(host) and len(dev) >= 4
+    # mosaic (160*160*4 B) over the cap, one 96px band (160*96*4 B)
+    # under it -> banded device tiling (one band per grid row)
+    band = run("auto", "cat_band.json", device_tiling_max_bytes=80_000)
+    assert len(dev) == len(host) == len(band) and len(dev) >= 4
     key = lambda s: (s["x1"], s["y1"])
-    for d, h in zip(sorted(dev, key=key), sorted(host, key=key)):
-        assert d["class_id"] == h["class_id"]
-        np.testing.assert_allclose(
-            [d[k] for k in ("x1", "y1", "x2", "y2", "score")],
-            [h[k] for k in ("x1", "y1", "x2", "y2", "score")],
-            rtol=0, atol=1e-3)
+    for variant in (dev, band):
+        for d, h in zip(sorted(variant, key=key), sorted(host, key=key)):
+            assert d["class_id"] == h["class_id"]
+            np.testing.assert_allclose(
+                [d[k] for k in ("x1", "y1", "x2", "y2", "score")],
+                [h[k] for k in ("x1", "y1", "x2", "y2", "score")],
+                rtol=0, atol=1e-3)
 
 
 def test_engine_mosaic_slices_match_host_windows(trained):
