@@ -201,7 +201,7 @@ class TileEngine:
             return jax.device_put(mosaic, replicated_sharding(self.mesh))
         return jax.device_put(mosaic)
 
-    def _build_mosaic(self, tile_shape, batch):
+    def _build_mosaic(self, tile_shape):
         h, w = tile_shape
         step = make_tile_step(
             self.model, preprocessor=self.preprocessor,
@@ -237,9 +237,9 @@ class TileEngine:
         origins[B, 2] int32 (ymin, xmin) in mosaic-array coordinates; all
         B windows share tile_shape=(h, w).  Same outputs as process()."""
         origins = jnp.asarray(np.asarray(origins, np.int32))
-        key = ("mosaic", tile_shape, int(origins.shape[0]),
-               str(mosaic_dev.dtype))
+        # one jitted program per tile shape; jit itself retraces per
+        # mosaic/band shape and batch size
+        key = ("mosaic", tile_shape, str(mosaic_dev.dtype))
         if key not in self._compiled:
-            self._compiled[key] = self._build_mosaic(
-                tile_shape, int(origins.shape[0]))
+            self._compiled[key] = self._build_mosaic(tile_shape)
         return self._compiled[key](self.params, mosaic_dev, origins)

@@ -425,6 +425,19 @@ class SFinder:
         cfg = self.config
         if cfg.device_tiling == "off":
             return None
+        import jax as _jax
+        nproc = _jax.process_count()
+        if cfg.device_tiling != "on" and nproc > 1:
+            # multi-host: every host ships the whole mosaic but only
+            # processes its 1/nproc tile stripe — device tiling only
+            # saves bytes when the grid's overlap factor beats nproc
+            overlap_factor = 1.0 / (cfg.tile_xstep * cfg.tile_ystep)
+            if overlap_factor <= nproc:
+                logger.info(
+                    "Device tiling skipped: grid overlap factor %.1f "
+                    "<= %d processes (windowed reads ship fewer bytes "
+                    "per host)", overlap_factor, nproc)
+                return None
         item = engine.relay_np_dtype.itemsize
         if (cfg.device_tiling == "on"
                 or self.nx * self.ny * item <= cfg.device_tiling_max_bytes):
