@@ -64,24 +64,36 @@ def stitch_tile_sources(tile_results: list[dict]) -> dict:
             else:
                 edge_refs.append((t_idx, s_idx))
 
+    # Vectorized pair discovery (the reference's O(E^2) python loop,
+    # inference.py:757-805, takes minutes at E~1e4 edge sources; the
+    # same predicate over numpy row blocks takes milliseconds):
+    # pair (i, j>i) is an edge iff j's tile is in i's neighbor list AND
+    # the boxes overlap closed-interval (touching DOES merge,
+    # reference inference.py:796-801).
     n = len(edge_refs)
     edges = []
-    for i in range(n):
-        t_i, s_i = edge_refs[i]
-        src = tile_results[t_i]["objs"][s_i]
-        nb_tids = tile_results[t_i]["neighborTileIds"]
-        for j in range(i + 1, n):
-            t_j, s_j = edge_refs[j]
-            if tile_results[t_j]["tileId"] not in nb_tids:
-                continue
-            other = tile_results[t_j]["objs"][s_j]
-            # closed-interval box overlap (boxes touching at an edge DO
-            # merge — reference inference.py:796-801)
-            if boxes_overlap_np(
-                    [[src["x1"], src["y1"], src["x2"], src["y2"]]],
-                    [[other["x1"], other["y1"], other["x2"],
-                      other["y2"]]])[0, 0]:
-                edges.append((i, j))
+    if n:
+        boxes = np.asarray(
+            [[o["x1"], o["y1"], o["x2"], o["y2"]]
+             for o in (tile_results[t]["objs"][s] for t, s in edge_refs)],
+            np.float64)
+        tidx = np.asarray([t for t, _ in edge_refs])
+        ntile = len(tile_results)
+        id2row = {td["tileId"]: k for k, td in enumerate(tile_results)}
+        nbmat = np.zeros((ntile, ntile), bool)
+        for k, td in enumerate(tile_results):
+            for tj in td["neighborTileIds"]:
+                if tj in id2row:
+                    nbmat[k, id2row[tj]] = True
+        blk = 2048  # row blocks bound the [E, E] masks at ~blk*E bytes
+        for lo in range(0, n, blk):
+            hi = min(lo + blk, n)
+            pair = (nbmat[tidx[lo:hi]][:, tidx]
+                    & boxes_overlap_np(boxes[lo:hi], boxes))
+            # strict upper triangle: j > i (global indices)
+            pair &= np.arange(n)[None, :] > np.arange(lo, hi)[:, None]
+            for i, j in np.argwhere(pair):
+                edges.append((int(i) + lo, int(j)))
 
     for comp in connected_components(n, edges) if n else []:
         if len(comp) == 1:

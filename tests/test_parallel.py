@@ -86,6 +86,60 @@ def test_stitch_non_neighbor_tiles_never_merge():
     assert all(not s["merged"] for s in out["sources"])
 
 
+def test_stitch_vectorized_matches_naive_pair_loop():
+    """The blocked/vectorized pair discovery must produce the exact
+    edges of the reference's O(E^2) loop (inference.py:757-805) on a
+    crowded random mosaic — including cross-block pairs (E > the 2048
+    row block), neighbor gating, and touching-box merges."""
+    rng = np.random.default_rng(42)
+    ntiles, E = 9, 3000  # 3x3 grid, E spans two row blocks
+    nb = {t: [u for u in range(ntiles)
+              if u != t and (abs(u % 3 - t % 3) <= 1
+                             and abs(u // 3 - t // 3) <= 1)]
+          for t in range(ntiles)}
+    tile_results = [{"objs": [], "tileId": t, "neighborTileIds": nb[t],
+                     "workerId": 0} for t in range(ntiles)]
+    for k in range(E):
+        t = int(rng.integers(0, ntiles))
+        x1, y1 = rng.uniform(0, 300, 2)
+        w, h = rng.uniform(1, 25, 2)
+        tile_results[t]["objs"].append(obj(
+            f"e{k}", x1, y1, x1 + w, y1 + h, edge=True,
+            cls=int(rng.integers(0, 3)), score=float(rng.uniform())))
+    # a deliberate touching pair (shared edge) in neighbor tiles, placed
+    # outside the random crowd's [0, 325] range so its component is
+    # exactly the pair
+    tile_results[0]["objs"].append(
+        obj("touchA", 1000, 1000, 1010, 1010, edge=True))
+    tile_results[1]["objs"].append(
+        obj("touchB", 1010, 1000, 1020, 1010, edge=True))
+
+    out = stitch_tile_sources(tile_results)
+
+    # naive reimplementation of the reference loop
+    refs = [(t, s) for t in range(ntiles)
+            for s in range(len(tile_results[t]["objs"]))]
+    naive = []
+    for i in range(len(refs)):
+        t_i, s_i = refs[i]
+        a = tile_results[t_i]["objs"][s_i]
+        for j in range(i + 1, len(refs)):
+            t_j, s_j = refs[j]
+            if tile_results[t_j]["tileId"] not in nb[t_i]:
+                continue
+            b = tile_results[t_j]["objs"][s_j]
+            if not (a["x2"] < b["x1"] or a["x1"] > b["x2"]
+                    or a["y2"] < b["y1"] or a["y1"] > b["y2"]):
+                naive.append((i, j))
+    from caesar_yolo_tpu.utils.unionfind import connected_components
+    n_comp_naive = len(connected_components(len(refs), naive))
+    assert len(out["sources"]) == n_comp_naive
+    # the touching pair merged into exactly its enclosing box
+    merged = [s for s in out["sources"] if s["merged"]]
+    assert any((s["x1"], s["y1"], s["x2"], s["y2"])
+               == (1000, 1000, 1020, 1010) for s in merged)
+
+
 @pytest.fixture(scope="module")
 def tiny_model():
     m = build_model("yolov8n", num_classes=5)
