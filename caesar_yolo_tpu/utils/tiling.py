@@ -122,17 +122,46 @@ def make_tile_windows(tile_grid) -> list[TileWindow]:
 
 
 def neighbor_table(tiles: list[TileWindow]) -> list[list[int]]:
-    """For each tile, the tids of its neighbor tiles.
+    """For each tile, the tids of its neighbor tiles (index order).
 
-    Replaces the reference's O(T^2) nested worker/task discovery
-    (inference.py:1031-1071) with a flat all-pairs pass (still O(T^2) in
-    the worst case but vectorizable; T is small).
+    Replaces the reference's O(T^2) nested python worker/task discovery
+    (inference.py:1031-1071) with blocked numpy evaluation of the same
+    adjacency/overlap predicates (TileWindow.is_neighbor) — a 10k-tile
+    grid resolves in milliseconds instead of minutes.
     """
     n = len(tiles)
     out: list[list[int]] = [[] for _ in range(n)]
-    for i in range(n):
-        for j in range(i + 1, n):
-            if tiles[i].is_neighbor(tiles[j]):
-                out[i].append(tiles[j].tid)
-                out[j].append(tiles[i].tid)
+    if n < 2:
+        return out
+    x0 = np.asarray([t.xmin for t in tiles], np.int32)
+    x1 = np.asarray([t.xmax for t in tiles], np.int32)
+    y0 = np.asarray([t.ymin for t in tiles], np.int32)
+    y1 = np.asarray([t.ymax for t in tiles], np.int32)
+
+    blk = 4096
+    for lo in range(0, n, blk):
+        hi = min(lo + blk, n)
+        # cheap candidate prefilter: closed interval touch-or-overlap on
+        # both axes is a SUPERSET of is_neighbor (adjacency touches,
+        # overlap overlaps, equal intervals are equal)
+        cand = ((x0[lo:hi, None] <= x1[None, :])
+                & (x0[None, :] <= x1[lo:hi, None])
+                & (y0[lo:hi, None] <= y1[None, :])
+                & (y0[None, :] <= y1[lo:hi, None]))
+        cand[np.arange(lo, hi) - lo, np.arange(lo, hi)] = False  # self
+        ij = np.argwhere(cand)
+        if not ij.size:
+            continue
+        i, j = ij[:, 0] + lo, ij[:, 1]
+        # exact predicate on candidates only:
+        # is_neighbor = (adj_x & adj_y) | (olap_x & olap_y)
+        ax = ((x1[i] == x0[j]) | (x0[i] == x1[j])
+              | ((x0[i] == x0[j]) & (x1[i] == x1[j])))
+        ay = ((y1[i] == y0[j]) | (y0[i] == y1[j])
+              | ((y0[i] == y0[j]) & (y1[i] == y1[j])))
+        ox = (x1[i] > x0[j]) & (x0[i] < x1[j])
+        oy = (y1[i] > y0[j]) & (y0[i] < y1[j])
+        keep = (ax & ay) | (ox & oy)
+        for a, b in zip(i[keep], j[keep]):
+            out[int(a)].append(tiles[int(b)].tid)
     return out

@@ -186,3 +186,36 @@ def test_flag_edge_sources_halfopen_neighbor_bound():
     flag_edge_sources([inside_only, in_overlap], tile, [nb])
     assert not inside_only["edge"]
     assert in_overlap["edge"]
+
+
+def test_neighbor_table_matches_pairwise_predicates():
+    """The blocked/vectorized neighbor_table must reproduce the exact
+    per-pair TileWindow.is_neighbor loop — random windows (arbitrary
+    touch/overlap/containment patterns) and an overlapping grid with
+    truncated edges, including list ORDER (ascending tile index)."""
+    import numpy as np
+    from caesar_yolo_tpu.utils.tiling import (
+        TileWindow, generate_tiles, make_tile_windows, neighbor_table)
+
+    def naive(tiles):
+        n = len(tiles)
+        out = [[] for _ in range(n)]
+        for i in range(n):
+            for j in range(i + 1, n):
+                if tiles[i].is_neighbor(tiles[j]):
+                    out[i].append(tiles[j].tid)
+                    out[j].append(tiles[i].tid)
+        return out
+
+    rng = np.random.default_rng(0)
+    tiles = []
+    for k in range(300):
+        x0, y0 = rng.integers(0, 500, 2)
+        tiles.append(TileWindow(int(x0), int(x0 + rng.integers(5, 60)),
+                                int(y0), int(y0 + rng.integers(5, 60)),
+                                tid=k))
+    assert neighbor_table(tiles) == naive(tiles)
+
+    grid = generate_tiles(0, 999, 0, 999, 256, 256, 0.5, 0.5)
+    tw = make_tile_windows(grid)
+    assert neighbor_table(tw) == naive(tw)
