@@ -88,6 +88,9 @@ def bench_mosaic():
     rc = sf.run_tiled()
     assert rc == 0
     mpix_s = size * size / 1e6 / sf.report.runtime_s
+    # vs_baseline counts TILES PROCESSED (an overlapping grid runs
+    # 1/step^2 more tiles than unique pixels suggest) vs the 500/s target
+    tiles_s = sf.report.n_tiles / sf.report.runtime_s
     print(json.dumps({
         "metric": (f"{model_name} tiled mosaic"
                    + (f" step={step}" if step != 1.0 else "")
@@ -95,7 +98,7 @@ def bench_mosaic():
                    + " Mpix/sec (e2e incl. IO+stitch)"),
         "value": round(mpix_s, 2),
         "unit": "Mpix/s",
-        "vs_baseline": round(mpix_s * 1e6 / (tile * tile) / 500.0, 3),
+        "vs_baseline": round(tiles_s / 500.0, 3),
     }))
 
 

@@ -417,41 +417,46 @@ class SFinder:
             return local_mesh()
         return self.mesh
 
-    def _device_tiling_mode(self, engine: TileEngine) -> str | None:
+    def _device_tiling_mode(self, engine: TileEngine, groups) -> str | None:
         """"full" (whole mosaic to HBM once), "band" (one full-width
         band per grid row — the overlap win holds for mosaics past the
         HBM cap, only the vertical overlap re-ships), or None (stream
-        windowed reads)."""
+        windowed reads).
+
+        Auto mode compares actual transfer bytes for THIS process's
+        REMAINING tiles (after resume-spool skips and multi-host
+        striping): the mosaic/band bytes each pixel would cross the
+        link once vs the per-window bytes the streaming path ships —
+        so a resumed run with 3 tiles left or a heavily-striped
+        multi-host run streams windows instead of re-shipping the
+        whole mosaic."""
         cfg = self.config
-        if cfg.device_tiling == "off":
+        if cfg.device_tiling == "off" or not groups:
             return None
-        import jax as _jax
-        nproc = _jax.process_count()
-        if cfg.device_tiling != "on" and nproc > 1:
-            # multi-host: every host ships the whole mosaic but only
-            # processes its 1/nproc tile stripe — device tiling only
-            # saves bytes when the grid's overlap factor beats nproc
-            overlap_factor = 1.0 / (cfg.tile_xstep * cfg.tile_ystep)
-            if overlap_factor <= nproc:
-                logger.info(
-                    "Device tiling skipped: grid overlap factor %.1f "
-                    "<= %d processes (windowed reads ship fewer bytes "
-                    "per host)", overlap_factor, nproc)
-                return None
-        item = engine.relay_np_dtype.itemsize
-        if (cfg.device_tiling == "on"
-                or self.nx * self.ny * item <= cfg.device_tiling_max_bytes):
+        if cfg.device_tiling == "on":
             return "full"
-        if self.nx * cfg.tile_ysize * item <= cfg.device_tiling_max_bytes:
+        item = engine.relay_np_dtype.itemsize
+        window_bytes = sum(len(g) * h * w
+                           for (h, w), g in groups.items()) * item
+        full_bytes = self.nx * self.ny * item
+        if (full_bytes <= cfg.device_tiling_max_bytes
+                and full_bytes <= window_bytes):
+            return "full"
+        rows = {(t.ymin, t.ymax) for g in groups.values() for t in g}
+        band_bytes = sum(self.nx * (y1 - y0) for y0, y1 in rows) * item
+        max_band = max(self.nx * (y1 - y0) for y0, y1 in rows) * item
+        if (max_band <= cfg.device_tiling_max_bytes
+                and band_bytes <= window_bytes):
             logger.info(
-                "Device tiling: mosaic exceeds the HBM cap; shipping "
-                "one %dpx-high full-width band per grid row instead",
-                cfg.tile_ysize)
+                "Device tiling: banded (bands %.1f MB <= windows "
+                "%.1f MB; full mosaic %.1f MB)", band_bytes / 1e6,
+                window_bytes / 1e6, full_bytes / 1e6)
             return "band"
         logger.info(
-            "Device tiling skipped: even one tile-row band exceeds "
-            "device_tiling_max_bytes=%d; streaming windowed reads",
-            cfg.device_tiling_max_bytes)
+            "Device tiling skipped: windowed reads ship fewer bytes "
+            "(windows %.1f MB vs mosaic %.1f MB / bands %.1f MB, "
+            "cap %d)", window_bytes / 1e6, full_bytes / 1e6,
+            band_bytes / 1e6, cfg.device_tiling_max_bytes)
         return None
 
     def _load_device_mosaic(self, engine: TileEngine):
@@ -556,16 +561,20 @@ class SFinder:
             spool.flush()
 
         results = []
-        mode = self._device_tiling_mode(engine) if groups else None
-        mosaic_np = self._load_device_mosaic(engine) if mode == "full" \
-            else None
-        if mosaic_np is not None:
+        mode = self._device_tiling_mode(engine, groups)
+        if mode == "full":
+            mosaic_np = self._load_device_mosaic(engine)
+            if mosaic_np is None:
+                mode = None  # unreadable -> stream windowed reads
+        if mode == "full":
             # Device-resident tiling: the mosaic crosses the link ONCE;
             # windows are extracted in-graph (TileEngine.put_mosaic /
             # process_mosaic_async), so an overlapping grid ships no
             # pixel twice and the disk IO is one sequential read.
             from collections import deque
             mosaic_dev = engine.put_mosaic(mosaic_np)
+            if not cfg.save_tile_img:
+                del mosaic_np  # host copy not needed past this point
             device_groups, groups = groups, {}
             for (h, w), group in device_groups.items():
                 pending = deque()

@@ -77,14 +77,19 @@ def stitch_tile_sources(tile_results: list[dict]) -> dict:
             [[o["x1"], o["y1"], o["x2"], o["y2"]]
              for o in (tile_results[t]["objs"][s] for t, s in edge_refs)],
             np.float64)
-        tidx = np.asarray([t for t, _ in edge_refs])
-        ntile = len(tile_results)
-        id2row = {td["tileId"]: k for k, td in enumerate(tile_results)}
-        nbmat = np.zeros((ntile, ntile), bool)
-        for k, td in enumerate(tile_results):
-            for tj in td["neighborTileIds"]:
-                if tj in id2row:
-                    nbmat[k, id2row[tj]] = True
+        # neighbor gate over only the tiles that HAVE edge sources
+        # (a dense [T, T] matrix would be 10 GB at a 100k-tile run)
+        utiles = np.unique([t for t, _ in edge_refs])
+        u2row = {int(t): k for k, t in enumerate(utiles)}
+        tidx = np.asarray([u2row[t] for t, _ in edge_refs])
+        tid2u = {tile_results[int(t)]["tileId"]: u2row[int(t)]
+                 for t in utiles}
+        nbmat = np.zeros((len(utiles), len(utiles)), bool)
+        for t in utiles:
+            k = u2row[int(t)]
+            for tj in tile_results[int(t)]["neighborTileIds"]:
+                if tj in tid2u:
+                    nbmat[k, tid2u[tj]] = True
         blk = 2048  # row blocks bound the [E, E] masks at ~blk*E bytes
         for lo in range(0, n, blk):
             hi = min(lo + blk, n)

@@ -138,16 +138,17 @@ def neighbor_table(tiles: list[TileWindow]) -> list[list[int]]:
     y0 = np.asarray([t.ymin for t in tiles], np.int32)
     y1 = np.asarray([t.ymax for t in tiles], np.int32)
 
-    blk = 4096
+    blk = 2048  # bounds the [blk, n] temporaries (~2*blk*n bytes peak)
     for lo in range(0, n, blk):
         hi = min(lo + blk, n)
         # cheap candidate prefilter: closed interval touch-or-overlap on
         # both axes is a SUPERSET of is_neighbor (adjacency touches,
-        # overlap overlaps, equal intervals are equal)
-        cand = ((x0[lo:hi, None] <= x1[None, :])
-                & (x0[None, :] <= x1[lo:hi, None])
-                & (y0[lo:hi, None] <= y1[None, :])
-                & (y0[None, :] <= y1[lo:hi, None]))
+        # overlap overlaps, equal intervals are equal); in-place &= keeps
+        # at most two block masks alive
+        cand = x0[lo:hi, None] <= x1[None, :]
+        cand &= x0[None, :] <= x1[lo:hi, None]
+        cand &= y0[lo:hi, None] <= y1[None, :]
+        cand &= y0[None, :] <= y1[lo:hi, None]
         cand[np.arange(lo, hi) - lo, np.arange(lo, hi)] = False  # self
         ij = np.argwhere(cand)
         if not ij.size:
