@@ -51,6 +51,36 @@ def test_spool_resume_skips_done_tiles(tmp_path, tiny_model,
     assert not spool.exists()  # cleaned up after a successful run
 
 
+def test_spool_resume_with_device_tiling(tmp_path, tiny_model,
+                                         galaxy_fits_path, monkeypatch):
+    """Resume composes with device-resident tiling: the spooled tile is
+    not recomputed (forced device_tiling='on') and survives into the
+    catalog."""
+    m, p = tiny_model
+    monkeypatch.chdir(tmp_path)
+    fake_obj = {"name": "S1_t0", "x1": 1.0, "x2": 5.0, "y1": 1.0,
+                "y2": 5.0, "class_id": 1, "class_name": "compact",
+                "score": 0.98, "edge": 0}
+    cfg = SFinderConfig(
+        image_path=galaxy_fits_path, image_xmin=-1, image_xmax=-1,
+        image_ymin=-1, image_ymax=-1, img_size=64, score_thr=0.9999,
+        split_image_in_tiles=True, tile_xsize=66, tile_ysize=66,
+        batch_size=4, resume=True, device_tiling="on")
+    sf = SFinder(m, p, cfg, engine_kwargs={"compute_dtype": jnp.float32})
+    spool = tmp_path / ".galaxy0001.tilespool.jsonl"
+    spool.write_text(
+        json.dumps({"gridSig": sf._grid_signature()}) + "\n"
+        + json.dumps(
+            {"objs": [fake_obj], "tileId": 0, "workerId": 0,
+             "neighborTileIds": [], "xmin": 0, "xmax": 66, "ymin": 0,
+             "ymax": 66}) + "\n")
+    assert sf.run_tiled() == 0
+    cat = json.loads((tmp_path / "catalog_galaxy0001.json").read_text())
+    assert 0.98 in {s["score"] for s in cat["sources"]}
+    assert sf.report.n_local_tiles == sf.report.n_tiles - 1
+    assert not spool.exists()
+
+
 def test_spool_rejected_on_config_change(tmp_path, tiny_model,
                                          galaxy_fits_path, monkeypatch):
     """A spool written under a DIFFERENT tiling must be ignored (stale
