@@ -155,7 +155,9 @@ def _ap_from_curve(recall, precision) -> float:
     mpre = np.concatenate(([1.0], precision, [0.0]))
     mpre = np.flip(np.maximum.accumulate(np.flip(mpre)))
     x = np.linspace(0.0, 1.0, 101)
-    return float(np.trapezoid(np.interp(x, mrec, mpre), x))
+    # np.trapezoid is numpy>=2 only; np.trapz is its 1.x spelling
+    trapz = getattr(np, "trapezoid", None) or np.trapz
+    return float(trapz(np.interp(x, mrec, mpre), x))
 
 
 def match_predictions(pred_boxes, pred_cls, gt_boxes, gt_cls, iou_thrs):
@@ -217,7 +219,11 @@ def compute_map(gt_list, pred_list, iou_thrs=None) -> MAPReport:
     (ultralytics convention — classes with gt but no predictions score
     AP=0, prediction-only classes don't dilute the mean)."""
     if iou_thrs is None:
-        iou_thrs = np.arange(0.50, 0.96, 0.05)
+        # linspace, NOT arange: arange's accumulated float steps land a
+        # few ulps ABOVE nominal (0.75000000000000022), turning an
+        # exact-0.75-IoU match into a FP at the 0.75 threshold;
+        # ultralytics uses linspace(0.5, 0.95, 10)
+        iou_thrs = np.linspace(0.50, 0.95, 10)
     iou_thrs = np.asarray(iou_thrs)
 
     tps, confs, pcls = [], [], []

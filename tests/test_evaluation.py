@@ -290,3 +290,17 @@ def test_pr_curve_figure(tmp_path):
     fig = tmp_path / "pr.png"
     save_pr_figure(m, str(fig))
     assert fig.stat().st_size > 1000
+
+
+def test_map_exact_threshold_iou_is_tp():
+    """A prediction whose IoU is EXACTLY a nominal threshold (0.75 here)
+    must count as TP at that threshold: the default grid must come from
+    linspace, since arange's accumulated float steps land ulps above
+    nominal and flip the >= comparison (ultralytics uses linspace)."""
+    # IoU(gt, pred) = 300/400 = 0.75 exactly (representable in float64)
+    gt, pred = _img([[0, 0, 10, 40]], ["compact"],
+                    [[0, 10, 10, 40]], ["compact"], scores=[0.9])
+    m = compute_map([gt], [pred])
+    assert m.map75 == 1.0
+    # TP at .50/.55/.60/.65/.70/.75 -> 6 of 10 thresholds
+    assert abs(m.map50_95 - 0.6) < 1e-9
