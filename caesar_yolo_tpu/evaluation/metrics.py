@@ -200,8 +200,28 @@ class MAPReport:
     map75: float = float("nan")
     map50_95: float = float("nan")
     # raw PR points at IoU=0.50 per class, in descending-confidence
-    # order: {label: (recall[n], precision[n])} — the PR_curve artifact
+    # order: {label: (recall[n], precision[n], conf[n])} — the PR_curve
+    # artifact, with the score threshold that realizes each point
     pr_curves: dict = field(default_factory=dict)
+
+    def best_thresholds(self) -> dict:
+        """Per-class score threshold maximizing PR-F1 at IoU=0.50.
+
+        The reference leaves --scoreThr to hand-tuning (scripts/
+        run.py:91, default 0.7); since the PR sweep is already computed
+        from ONE detector pass at a low threshold, the optimum is free:
+        keeping predictions with score >= conf[i] yields exactly
+        (recall[i], precision[i]).  Returns
+        {label: (thr, f1, precision, recall)}."""
+        best = {}
+        for label, (rec, prec, conf) in self.pr_curves.items():
+            if not len(rec):
+                continue
+            f1 = 2 * rec * prec / np.maximum(rec + prec, 1e-16)
+            i = int(np.argmax(f1))
+            best[label] = (float(conf[i]), float(f1[i]),
+                           float(prec[i]), float(rec[i]))
+        return best
 
     def summary(self) -> str:
         lines = [f"mAP50={self.map50:.4f} mAP75={self.map75:.4f} "
@@ -263,7 +283,8 @@ def compute_map(gt_list, pred_list, iou_thrs=None) -> MAPReport:
         report.per_class_ap50[label] = float(aps[0])
         report.per_class_ap[label] = float(aps.mean())
         report.pr_curves[label] = (recall[:, 0].copy(),
-                                   precision[:, 0].copy())
+                                   precision[:, 0].copy(),
+                                   conf[order][sel].copy())
         ap75.append(float(aps[i75]))
     report.map50 = float(np.mean(list(report.per_class_ap50.values())))
     report.map50_95 = float(np.mean(list(report.per_class_ap.values())))
@@ -344,7 +365,7 @@ def save_pr_figure(map_report: MAPReport, path: str):
 
     fig, ax = plt.subplots(figsize=(6, 5))
     for label in sorted(map_report.pr_curves):
-        recall, precision = map_report.pr_curves[label]
+        recall, precision, _ = map_report.pr_curves[label]
         # prepend the (0, p0) start so single-point curves draw a line
         r = np.concatenate(([0.0], recall))
         p = np.concatenate(([precision[0] if len(precision) else 1.0],
