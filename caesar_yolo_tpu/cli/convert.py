@@ -38,7 +38,9 @@ def main(argv=None) -> int:
         convert_checkpoint(args.weights, out_path=out,
                            model_name=args.model,
                            num_classes=args.num_classes)
-    except (OSError, ValueError, KeyError) as e:
+    except Exception as e:  # CLI boundary: any failure (corrupt pickle,
+        # missing torch, bad key) exits 1 with a clean message, never a
+        # raw traceback
         logger.error("Conversion failed: %s", e)
         return 1
     return 0

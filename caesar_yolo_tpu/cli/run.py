@@ -197,6 +197,18 @@ def quantize_from_image(model, params, image_path, preproc, img_size):
     return quantize_model(model, params, calib)
 
 
+def _per_image_path(template: str, path: str, n_images: int) -> str:
+    """Fixed per-run file overrides (outfiles, spool) get the image stem
+    appended for datalists — a shared path would silently keep only the
+    LAST image's data (and a shared spool would lose every other image's
+    resume state)."""
+    if not template or n_images == 1:
+        return template
+    stem = os.path.splitext(os.path.basename(path))[0]
+    base, ext = os.path.splitext(template)
+    return f"{base}_{stem}{ext}"
+
+
 def run_datalist_tiled(model, params, cfg, images, preproc, mesh,
                        engine_kwargs=None) -> int:
     """Tiled detection over a datalist, sharing ONE compiled TileEngine
@@ -205,22 +217,18 @@ def run_datalist_tiled(model, params, cfg, images, preproc, mesh,
 
     from caesar_yolo_tpu.parallel import SFinder
 
-    def per_image(template: str, path: str) -> str:
-        # same rule as run_datalist_serial: a fixed outfile override
-        # must not be silently overwritten per image
-        if not template or len(images) == 1:
-            return template
-        stem = os.path.splitext(os.path.basename(path))[0]
-        base, ext = os.path.splitext(template)
-        return f"{base}_{stem}{ext}"
-
     status = 0
     engine = None
+    n = len(images)
     for path in images:
         sf = SFinder(model, params,
                      replace(cfg, image_path=path,
-                             outfile_json=per_image(cfg.outfile_json, path),
-                             outfile_ds9=per_image(cfg.outfile_ds9, path)),
+                             outfile_json=_per_image_path(
+                                 cfg.outfile_json, path, n),
+                             outfile_ds9=_per_image_path(
+                                 cfg.outfile_ds9, path, n),
+                             spool_path=_per_image_path(
+                                 cfg.spool_path, path, n)),
                      preprocessor=preproc, mesh=mesh, engine=engine,
                      engine_kwargs=engine_kwargs)
         rc = sf.run_tiled()
@@ -239,23 +247,16 @@ def run_datalist_serial(model, params, cfg, images, preproc,
 
     from caesar_yolo_tpu.parallel import SFinder
 
-    def per_image(template: str, path: str) -> str:
-        """Fixed outfile overrides get the image stem appended for
-        datalists — a shared path would silently keep only the LAST
-        image's catalog."""
-        if not template or len(images) == 1:
-            return template
-        stem = os.path.splitext(os.path.basename(path))[0]
-        base, ext = os.path.splitext(template)
-        return f"{base}_{stem}{ext}"
-
     status = 0
     predictor = None
+    n = len(images)
     for path in images:
         sf = SFinder(model, params,
                      replace(cfg, image_path=path,
-                             outfile_json=per_image(cfg.outfile_json, path),
-                             outfile_ds9=per_image(cfg.outfile_ds9, path)),
+                             outfile_json=_per_image_path(
+                                 cfg.outfile_json, path, n),
+                             outfile_ds9=_per_image_path(
+                                 cfg.outfile_ds9, path, n)),
                      preprocessor=preproc, predictor=predictor,
                      engine_kwargs=engine_kwargs)
         rc = sf.run()

@@ -121,6 +121,14 @@ def evaluate_dataset(model, params, filelist, *,
     from caesar_yolo_tpu.evaluation.metrics import compute_map
     map_report = compute_map(gt_list, pred_list)
     logger.info("Average precision:\n%s", map_report.summary())
+    best = map_report.best_thresholds()
+    if best:
+        lines = [f"  {k}: scoreThr={t:.3f} -> F1={f:.3f} "
+                 f"(P={p:.3f} R={r:.3f})"
+                 for k, (t, f, p, r) in sorted(best.items())]
+        logger.info("Best score thresholds (PR-F1 at IoU=0.50; the "
+                    "reference hand-tunes --scoreThr):\n%s",
+                    "\n".join(lines))
     report.map = map_report
     if detail_out:
         import json

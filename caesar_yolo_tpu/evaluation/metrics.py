@@ -155,7 +155,9 @@ def _ap_from_curve(recall, precision) -> float:
     mpre = np.concatenate(([1.0], precision, [0.0]))
     mpre = np.flip(np.maximum.accumulate(np.flip(mpre)))
     x = np.linspace(0.0, 1.0, 101)
-    return float(np.trapezoid(np.interp(x, mrec, mpre), x))
+    # np.trapezoid is numpy>=2 only; np.trapz is its 1.x spelling
+    trapz = getattr(np, "trapezoid", None) or np.trapz
+    return float(trapz(np.interp(x, mrec, mpre), x))
 
 
 def match_predictions(pred_boxes, pred_cls, gt_boxes, gt_cls, iou_thrs):
@@ -198,8 +200,28 @@ class MAPReport:
     map75: float = float("nan")
     map50_95: float = float("nan")
     # raw PR points at IoU=0.50 per class, in descending-confidence
-    # order: {label: (recall[n], precision[n])} — the PR_curve artifact
+    # order: {label: (recall[n], precision[n], conf[n])} — the PR_curve
+    # artifact, with the score threshold that realizes each point
     pr_curves: dict = field(default_factory=dict)
+
+    def best_thresholds(self) -> dict:
+        """Per-class score threshold maximizing PR-F1 at IoU=0.50.
+
+        The reference leaves --scoreThr to hand-tuning (scripts/
+        run.py:91, default 0.7); since the PR sweep is already computed
+        from ONE detector pass at a low threshold, the optimum is free:
+        keeping predictions with score >= conf[i] yields exactly
+        (recall[i], precision[i]).  Returns
+        {label: (thr, f1, precision, recall)}."""
+        best = {}
+        for label, (rec, prec, conf) in self.pr_curves.items():
+            if not len(rec):
+                continue
+            f1 = 2 * rec * prec / np.maximum(rec + prec, 1e-16)
+            i = int(np.argmax(f1))
+            best[label] = (float(conf[i]), float(f1[i]),
+                           float(prec[i]), float(rec[i]))
+        return best
 
     def summary(self) -> str:
         lines = [f"mAP50={self.map50:.4f} mAP75={self.map75:.4f} "
@@ -217,7 +239,11 @@ def compute_map(gt_list, pred_list, iou_thrs=None) -> MAPReport:
     (ultralytics convention — classes with gt but no predictions score
     AP=0, prediction-only classes don't dilute the mean)."""
     if iou_thrs is None:
-        iou_thrs = np.arange(0.50, 0.96, 0.05)
+        # linspace, NOT arange: arange's accumulated float steps land a
+        # few ulps ABOVE nominal (0.75000000000000022), turning an
+        # exact-0.75-IoU match into a FP at the 0.75 threshold;
+        # ultralytics uses linspace(0.5, 0.95, 10)
+        iou_thrs = np.linspace(0.50, 0.95, 10)
     iou_thrs = np.asarray(iou_thrs)
 
     tps, confs, pcls = [], [], []
@@ -257,7 +283,8 @@ def compute_map(gt_list, pred_list, iou_thrs=None) -> MAPReport:
         report.per_class_ap50[label] = float(aps[0])
         report.per_class_ap[label] = float(aps.mean())
         report.pr_curves[label] = (recall[:, 0].copy(),
-                                   precision[:, 0].copy())
+                                   precision[:, 0].copy(),
+                                   conf[order][sel].copy())
         ap75.append(float(aps[i75]))
     report.map50 = float(np.mean(list(report.per_class_ap50.values())))
     report.map50_95 = float(np.mean(list(report.per_class_ap.values())))
@@ -338,7 +365,7 @@ def save_pr_figure(map_report: MAPReport, path: str):
 
     fig, ax = plt.subplots(figsize=(6, 5))
     for label in sorted(map_report.pr_curves):
-        recall, precision = map_report.pr_curves[label]
+        recall, precision, _ = map_report.pr_curves[label]
         # prepend the (0, p0) start so single-point curves draw a line
         r = np.concatenate(([0.0], recall))
         p = np.concatenate(([precision[0] if len(precision) else 1.0],

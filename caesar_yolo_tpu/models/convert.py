@@ -28,6 +28,7 @@ from __future__ import annotations
 import json
 import os
 import pickle
+import re
 
 import numpy as np
 
@@ -305,14 +306,27 @@ def load_params(path: str):
     return _unflatten(flat), meta
 
 
+def _infer_model_name(stem: str) -> str:
+    """Exact stem if build_model parses it, else the first embedded
+    ``yolov8<s>`` / ``yolo11<s>`` architecture token in the stem."""
+    m = re.search(r"yolo(?:v8|11)[nslmx]", stem)
+    if not stem.startswith(("yolov8", "yolo11")) and m:
+        return m.group(0)
+    return stem
+
+
 def convert_checkpoint(pt_path: str, out_path: str | None = None,
                        model_name: str | None = None,
                        num_classes: int | None = None):
     """Full conversion: .pt -> (model, params) (+ .npz when out_path set).
 
     model_name defaults to the checkpoint filename stem (the reference's
-    convention, README.md:190-207)."""
-    name = model_name or os.path.splitext(os.path.basename(pt_path))[0]
+    convention, README.md:190-207); stems that merely CONTAIN an
+    architecture name (``weights-yolov8l.pt``, ``yolo11n_best.pt``) are
+    matched by substring so the documented one-liner works on real
+    checkpoint filenames."""
+    name = model_name or _infer_model_name(
+        os.path.splitext(os.path.basename(pt_path))[0])
     sd = load_torch_state_dict(pt_path)
     if num_classes is None:
         num_classes = infer_num_classes(sd)

@@ -365,9 +365,13 @@ class SFinder:
     def _grid_signature(self) -> dict:
         """Everything that changes what a spooled tile result MEANS:
         resuming with a different grid would stitch stale windows from
-        another geometry into the new one (wrong neighbors, stale tids)."""
+        another geometry into the new one (wrong neighbors, stale tids).
+        The image path is part of the signature: a spool shared across a
+        datalist (or an auto-name collision between a/field.fits and
+        b/field.fits) must never stitch another image's tiles in."""
         cfg = self.config
-        return {"tile_xsize": cfg.tile_xsize, "tile_ysize": cfg.tile_ysize,
+        return {"image": cfg.image_path,
+                "tile_xsize": cfg.tile_xsize, "tile_ysize": cfg.tile_ysize,
                 "tile_xstep": cfg.tile_xstep, "tile_ystep": cfg.tile_ystep,
                 "crop": [cfg.image_xmin, cfg.image_xmax,
                          cfg.image_ymin, cfg.image_ymax],

@@ -556,3 +556,44 @@ def test_cli_datalist_tiled_per_image_outfiles(tmp_path, monkeypatch):
     assert rc == 0
     for i in range(2):
         assert (tmp_path / f"cat_mos{i}.json").exists()
+
+
+def test_spool_rejected_on_different_image(tmp_path, tiny_model,
+                                           galaxy_fits_path, monkeypatch):
+    """A spool written for ANOTHER image (shared --spool_path across a
+    datalist, or an auto-name basename collision) must be ignored: the
+    grid signature carries the image path."""
+    import shutil
+    m, p = tiny_model
+    monkeypatch.chdir(tmp_path)
+    other = tmp_path / "other_field.fits"
+    shutil.copy(galaxy_fits_path, other)
+    fake_obj = {"name": "S1_t0", "x1": 1.0, "x2": 5.0, "y1": 1.0,
+                "y2": 5.0, "class_id": 1, "class_name": "compact",
+                "score": 0.95, "edge": 0}
+    spool = tmp_path / "shared.spool.jsonl"
+    kw = dict(image_xmin=-1, image_xmax=-1, image_ymin=-1, image_ymax=-1,
+              img_size=64, score_thr=0.9999, split_image_in_tiles=True,
+              tile_xsize=66, tile_ysize=66, batch_size=4, resume=True,
+              spool_path=str(spool))
+    sf_other = SFinder(m, p, SFinderConfig(image_path=str(other), **kw))
+    spool.write_text(
+        json.dumps({"gridSig": sf_other._grid_signature()}) + "\n"
+        + json.dumps(
+            {"objs": [fake_obj], "tileId": 0, "workerId": 0,
+             "neighborTileIds": [], "xmin": 0, "xmax": 66, "ymin": 0,
+             "ymax": 66}) + "\n")
+    sf = SFinder(m, p, SFinderConfig(image_path=galaxy_fits_path, **kw),
+                 engine_kwargs={"compute_dtype": jnp.float32})
+    assert sf.run_tiled() == 0
+    cat = json.loads((tmp_path / "catalog_galaxy0001.json").read_text())
+    assert 0.95 not in {s["score"] for s in cat["sources"]}
+
+
+def test_datalist_per_image_spool_path():
+    """Datalist runs suffix a fixed --spool_path per image so one image's
+    resume state never clobbers (or contaminates) another's."""
+    from caesar_yolo_tpu.cli.run import _per_image_path
+    assert _per_image_path("s.jsonl", "a/field.fits", 3) == "s_field.jsonl"
+    assert _per_image_path("s.jsonl", "x.fits", 1) == "s.jsonl"
+    assert _per_image_path("", "x.fits", 3) == ""

@@ -240,3 +240,35 @@ def test_convert_cli_roundtrip(tmp_path):
     assert main([str(pt), str(tmp_path / "w2.npz")]) == 0
     assert (tmp_path / "w2.npz").exists()
     assert main([str(tmp_path / "nope.pt")]) == 1
+
+
+def test_convert_cli_infers_name_from_stem_substring(tmp_path):
+    """The documented MIGRATION.md one-liner uses a real-world filename
+    (weights-yolov8n.pt) whose stem only CONTAINS the architecture name;
+    inference must find the embedded token instead of failing to parse
+    the full stem."""
+    torch = pytest.importorskip("torch")
+    import os
+    import sys
+    sys.path.insert(0, os.path.dirname(__file__))
+    import ultra_ref as U
+    from caesar_yolo_tpu.cli.convert import main
+    from caesar_yolo_tpu.models.convert import load_params
+
+    tm = U.build_torch_twin("yolov8n", seed=22)
+    pt = tmp_path / "weights-yolov8n.pt"
+    torch.save(tm.state_dict(), str(pt))
+    out = tmp_path / "out.npz"
+    assert main([str(pt), str(out)]) == 0
+    _, meta = load_params(str(out))
+    assert meta["model"] == "yolov8n"
+
+
+def test_convert_cli_corrupt_pt_exits_cleanly(tmp_path):
+    """A truncated/corrupt .pt (UnpicklingError — outside the obvious
+    OSError/ValueError/KeyError set) must take the clean logger+exit-1
+    path, not dump a raw traceback."""
+    from caesar_yolo_tpu.cli.convert import main
+    bad = tmp_path / "corrupt.pt"
+    bad.write_bytes(b"PK\x03\x04 this is not a checkpoint")
+    assert main([str(bad)]) == 1

@@ -285,8 +285,39 @@ def test_pr_curve_figure(tmp_path):
                     scores=[0.9, 0.8, 0.3])
     m = compute_map([gt], [pred])
     assert set(m.pr_curves) == {"compact", "extended"}
-    rec, prec = m.pr_curves["compact"]
+    rec, prec, conf = m.pr_curves["compact"]
     assert rec.tolist() == [1.0, 1.0] and prec.tolist() == [1.0, 0.5]
+    assert conf.tolist() == [0.9, 0.3]
     fig = tmp_path / "pr.png"
     save_pr_figure(m, str(fig))
     assert fig.stat().st_size > 1000
+
+
+def test_map_exact_threshold_iou_is_tp():
+    """A prediction whose IoU is EXACTLY a nominal threshold (0.75 here)
+    must count as TP at that threshold: the default grid must come from
+    linspace, since arange's accumulated float steps land ulps above
+    nominal and flip the >= comparison (ultralytics uses linspace)."""
+    # IoU(gt, pred) = 300/400 = 0.75 exactly (representable in float64)
+    gt, pred = _img([[0, 0, 10, 40]], ["compact"],
+                    [[0, 10, 10, 40]], ["compact"], scores=[0.9])
+    m = compute_map([gt], [pred])
+    assert m.map75 == 1.0
+    # TP at .50/.55/.60/.65/.70/.75 -> 6 of 10 thresholds
+    assert abs(m.map50_95 - 0.6) < 1e-9
+
+
+def test_best_thresholds_maximize_pr_f1():
+    """best_thresholds picks the confidence cut maximizing PR-F1: with
+    TPs at 0.9/0.3 and an FP at 0.8 over 2 gt boxes, keeping everything
+    (thr=0.3: P=2/3, R=1, F1=0.8) beats the high-precision cut
+    (thr=0.9: P=1, R=0.5, F1=2/3)."""
+    gt, pred = _img([[0, 0, 10, 10], [20, 20, 30, 30]],
+                    ["compact", "compact"],
+                    [[0, 0, 10, 10], [50, 50, 60, 60], [20, 20, 30, 30]],
+                    ["compact", "compact", "compact"],
+                    scores=[0.9, 0.8, 0.3])
+    m = compute_map([gt], [pred])
+    thr, f1, prec, rec = m.best_thresholds()["compact"]
+    assert thr == 0.3 and abs(f1 - 0.8) < 1e-9
+    assert abs(prec - 2 / 3) < 1e-9 and rec == 1.0
