@@ -44,6 +44,7 @@ from jax import lax
 
 from caesar_yolo_tpu.models.yolo import anchor_points, decode_dfl_window, \
     flatten_raw
+from caesar_yolo_tpu.utils import portable as _portable
 from caesar_yolo_tpu.utils.boxes import iou_matrix
 
 MAX_WH = 7680.0  # class offset multiplier (larger than any letterbox size)
@@ -179,7 +180,19 @@ def _compact(top_boxes, top_conf, top_cls, alive, max_det):
 
 
 @partial(jax.jit, static_argnames=("conf_thr", "iou_thr", "max_det",
-                                   "pre_nms", "class_agnostic"))
+                                   "pre_nms", "class_agnostic",
+                                   "use_pallas"))
+def _nms_batch_impl(boxes, scores, conf_thr, iou_thr, max_det, pre_nms,
+                    class_agnostic, use_pallas):
+    top_boxes, top_conf, top_cls, top_valid, n_dropped, nms_boxes = \
+        jax.vmap(lambda b, s: _select_candidates(
+            b, s, conf_thr, pre_nms, class_agnostic))(boxes, scores)
+    alive = _suppress_batch(nms_boxes, top_valid, iou_thr, use_pallas)
+    outs = jax.vmap(lambda tb, tc, tk, al: _compact(
+        tb, tc, tk, al, max_det))(top_boxes, top_conf, top_cls, alive)
+    return (*outs, n_dropped)
+
+
 def nms_batch(boxes: jnp.ndarray, scores: jnp.ndarray,
               conf_thr: float = 0.25, iou_thr: float = 0.5,
               max_det: int = 300, pre_nms: int = DEFAULT_PRE_NMS,
@@ -191,27 +204,21 @@ def nms_batch(boxes: jnp.ndarray, scores: jnp.ndarray,
     On TPU the suppression fixpoint runs as a VMEM-resident Pallas
     kernel (detect/pallas_nms.py) — numerically identical to the XLA
     sweep path used everywhere else."""
-    top_boxes, top_conf, top_cls, top_valid, n_dropped, nms_boxes = \
-        jax.vmap(lambda b, s: _select_candidates(
-            b, s, conf_thr, pre_nms, class_agnostic))(boxes, scores)
-    alive = _suppress_batch(nms_boxes, top_valid, iou_thr)
-    outs = jax.vmap(lambda tb, tc, tk, al: _compact(
-        tb, tc, tk, al, max_det))(top_boxes, top_conf, top_cls, alive)
-    return (*outs, n_dropped)
-
-
-# While portable.FORCE is True (deploy.py's portable_suppression),
-# _suppress_batch traces the platform-neutral XLA sweeps even on a TPU
-# host, so jax.export artifacts never bake in the Mosaic kernel (which
-# would not lower for other platforms).  The flag is shared
-# (utils/portable.py): the preprocessing stages' native batch kernels
-# honor it too (ops/transforms.Pipeline.apply_batch).
-from caesar_yolo_tpu.utils import portable as _portable
+    return _nms_batch_impl(boxes, scores, conf_thr, iou_thr, max_det,
+                           pre_nms, class_agnostic,
+                           _use_pallas_suppression())
 
 
 class portable_suppression:
     """Context manager forcing the XLA formulations of every Pallas
-    kernel during tracing (used by deploy.export_detector)."""
+    kernel during tracing (used by deploy.export_detector).
+
+    While portable.FORCE is True, suppression traces the
+    platform-neutral XLA sweeps even on a TPU host, so jax.export
+    artifacts never bake in the Mosaic kernel (which would not lower
+    for other platforms).  The flag is shared (utils/portable.py): the
+    preprocessing stages' native batch kernels honor it too
+    (ops/transforms.Pipeline.apply_batch)."""
 
     def __enter__(self):
         self._prev = _portable.FORCE
@@ -222,11 +229,29 @@ class portable_suppression:
         return False
 
 
-def _suppress_batch(nms_boxes, top_valid, iou_thr):
+def _use_pallas_suppression() -> bool:
+    """Resolve the Pallas-vs-XLA suppression choice OUTSIDE the jitted
+    implementations so it enters their jit cache key as a static
+    argument.  Reading portable.FORCE (or the backend) inside a
+    module-level @jax.jit function would freeze the first-seen branch
+    into its trace cache — a later jax.export under
+    portable_suppression() hitting that cache would silently bake the
+    Mosaic kernel into the artifact (and the converse ordering would pin
+    post-export TPU runs to the XLA path).  'axon' is this repo's TPU
+    backend name on the tunneled chip (same gate as
+    ops/pallas_upsample.py, models/pallas_attn.py)."""
+    return (jax.default_backend() in ("tpu", "axon")
+            and not _portable.FORCE)
+
+
+def _suppress_batch(nms_boxes, top_valid, iou_thr, use_pallas=None):
     """Batched suppression: VMEM-resident Pallas kernel on TPU
     (detect/pallas_nms.py), the XLA sweeps everywhere else — numerically
-    identical (parity pinned by tests/test_pallas_nms.py)."""
-    if jax.default_backend() == "tpu" and not _portable.FORCE:
+    identical (parity pinned by tests/test_pallas_nms.py).
+    use_pallas=None resolves from the backend + portable flag now."""
+    if use_pallas is None:
+        use_pallas = _use_pallas_suppression()
+    if use_pallas:
         from caesar_yolo_tpu.detect.pallas_nms import nms_suppress
         return nms_suppress(jnp.transpose(nms_boxes, (0, 2, 1)),
                             top_valid, iou_thr)
@@ -235,7 +260,22 @@ def _suppress_batch(nms_boxes, top_valid, iou_thr):
 
 
 @partial(jax.jit, static_argnames=("img_size", "conf_thr", "iou_thr",
-                                   "max_det", "pre_nms", "class_agnostic"))
+                                   "max_det", "pre_nms", "class_agnostic",
+                                   "use_pallas"))
+def _nms_batch_raw_impl(raw, img_size, conf_thr, iou_thr, max_det,
+                        pre_nms, class_agnostic, use_pallas):
+    dist, logits = flatten_raw(raw)
+    anchors, strides = anchor_points(img_size)
+    top_boxes, top_conf, top_cls, top_valid, n_dropped, nms_boxes = \
+        jax.vmap(lambda d, l: _select_candidates_raw(
+            d, l, anchors, strides, conf_thr, pre_nms,
+            class_agnostic))(dist, logits)
+    alive = _suppress_batch(nms_boxes, top_valid, iou_thr, use_pallas)
+    outs = jax.vmap(lambda tb, tc, tk, al: _compact(
+        tb, tc, tk, al, max_det))(top_boxes, top_conf, top_cls, alive)
+    return (*outs, n_dropped)
+
+
 def nms_batch_raw(raw, img_size: int,
                   conf_thr: float = 0.25, iou_thr: float = 0.5,
                   max_det: int = 300, pre_nms: int = DEFAULT_PRE_NMS,
@@ -256,13 +296,6 @@ def nms_batch_raw(raw, img_size: int,
     (19.9 vs 19.8).  Kept with parity tests as the documented negative
     result and for backends where gathers are cheap.
     """
-    dist, logits = flatten_raw(raw)
-    anchors, strides = anchor_points(img_size)
-    top_boxes, top_conf, top_cls, top_valid, n_dropped, nms_boxes = \
-        jax.vmap(lambda d, l: _select_candidates_raw(
-            d, l, anchors, strides, conf_thr, pre_nms,
-            class_agnostic))(dist, logits)
-    alive = _suppress_batch(nms_boxes, top_valid, iou_thr)
-    outs = jax.vmap(lambda tb, tc, tk, al: _compact(
-        tb, tc, tk, al, max_det))(top_boxes, top_conf, top_cls, alive)
-    return (*outs, n_dropped)
+    return _nms_batch_raw_impl(raw, img_size, conf_thr, iou_thr, max_det,
+                               pre_nms, class_agnostic,
+                               _use_pallas_suppression())

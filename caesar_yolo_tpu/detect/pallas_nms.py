@@ -115,6 +115,13 @@ def nms_suppress(boxes_t: jnp.ndarray, valid: jnp.ndarray,
         in_specs=[box_spec, vec_spec],
         out_specs=vec_spec,
         out_shape=jax.ShapeDtypeStruct((b, 1, k_pad), jnp.float32),
+        # the iou + suppress [K, K] f32 pairs are 2 MB at the default
+        # K=512 but 32 MB at K=2048 — the crowded-field window the
+        # truncation warning steers users toward would blow the 16 MB
+        # default scoped-VMEM budget without this (same raise as
+        # ops/pallas_stats.py, ops/pallas_clahe.py)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=INTERPRET,
     )(boxes_p, valid_f)
     return alive[:, 0, :k] > 0.5

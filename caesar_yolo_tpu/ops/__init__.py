@@ -33,5 +33,6 @@ from caesar_yolo_tpu.ops.transforms import (
     sigma_clipper,
     standardizer,
     valid_mask,
+    zscale_transformer,
 )
 from caesar_yolo_tpu.ops.zscale import zscale_limits, zscale_transform

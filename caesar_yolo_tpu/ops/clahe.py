@@ -28,6 +28,24 @@ import jax
 import jax.numpy as jnp
 
 
+def clip_redistribute(hist, npix, clip_limit, nbins):
+    """Clip + iterative excess redistribution over per-tile histograms
+    (the published algorithm's contrast limiting; iterative until no
+    bin re-exceeds the limit — fixed trip count, the mass above the
+    limit shrinks geometrically and 8 sweeps reach float eps).
+    hist: [..., nbins]; shared by the XLA path below and the Pallas
+    batch path (ops/pallas_clahe.py) so the clip semantics cannot
+    drift between the two parity-pinned formulations."""
+    limit = jnp.maximum(clip_limit * npix, 1.0)
+
+    def sweep(_, hst):
+        excess = jnp.sum(jnp.maximum(hst - limit, 0.0), axis=-1,
+                         keepdims=True)
+        return jnp.minimum(hst, limit) + excess / nbins
+
+    return jax.lax.fori_loop(0, 8, sweep, hist)
+
+
 @partial(jax.jit, static_argnames=("nbins", "grid", "clip_limit"))
 def equalize_adapthist(values: jnp.ndarray, clip_limit: float = 0.03,
                        nbins: int = 256, grid: int = 8) -> jnp.ndarray:
@@ -54,18 +72,7 @@ def equalize_adapthist(values: jnp.ndarray, clip_limit: float = 0.03,
     hist = jnp.zeros((grid * grid * nbins,), jnp.float32).at[flat_idx].add(
         1.0).reshape(grid * grid, nbins)
 
-    # clip + redistribute excess (iterative until no bin re-exceeds the
-    # limit, as in the published algorithm; fixed trip count — the mass
-    # above the limit shrinks geometrically, 8 sweeps reach float eps)
-    npix = th * tw
-    limit = jnp.maximum(clip_limit * npix, 1.0)
-
-    def sweep(_, hst):
-        excess = jnp.sum(jnp.maximum(hst - limit, 0.0), axis=1,
-                         keepdims=True)
-        return jnp.minimum(hst, limit) + excess / nbins
-
-    hist = jax.lax.fori_loop(0, 8, sweep, hist)
+    hist = clip_redistribute(hist, th * tw, clip_limit, nbins)
 
     cdf = jnp.cumsum(hist, axis=1)
     cdf = cdf / cdf[:, -1:]

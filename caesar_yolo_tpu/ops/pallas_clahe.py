@@ -173,17 +173,12 @@ def equalize_adapthist_batch(tiles: jnp.ndarray, clip_limit: float = 0.03,
         interpret=interpret,
     )(xp, vlims)
 
-    # clip + iterative excess redistribution (ops/clahe.py:56-68)
-    hist = hist.reshape(b, grid * grid, NBINS)
-    npix = th * tw
-    limit = jnp.maximum(clip_limit * npix, 1.0)
-
-    def sweep(_, hst):
-        excess = jnp.sum(jnp.maximum(hst - limit, 0.0), axis=-1,
-                         keepdims=True)
-        return jnp.minimum(hst, limit) + excess / NBINS
-
-    hist = lax.fori_loop(0, 8, sweep, hist)
+    # clip + iterative excess redistribution — the SAME helper as the
+    # XLA formulation (ops/clahe.clip_redistribute), so the contrast
+    # limiting cannot drift between the two parity-pinned paths
+    from caesar_yolo_tpu.ops.clahe import clip_redistribute
+    hist = clip_redistribute(hist.reshape(b, grid * grid, NBINS),
+                             th * tw, clip_limit, NBINS)
     cdf = jnp.cumsum(hist, axis=-1)
     cdf = cdf / cdf[:, :, -1:]
     cdf0 = jnp.pad(cdf, ((0, 0), (0, 0), (1, 0)))     # [B, g*g, NBINS+1]

@@ -8,7 +8,8 @@ returning a pure function
 
 obeying the reference masking convention: pixels that are exactly 0 or
 non-finite are excluded from statistics and restored to 0 afterwards
-(e.g. reference preprocessing.py:99-108).  `valid=False` marks inputs on
+(e.g. reference preprocessing.py:99-108) — with one reference-mandated
+exception (log_stretcher's minmaxnorm=False branch, see its docstring).  `valid=False` marks inputs on
 which the reference implementation would have returned None (empty mask,
 non-positive channel maxima, ...); the host checks it before prediction,
 mirroring the reference's no-prediction paths (evaluation.py:164-176).
@@ -27,6 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from caesar_yolo_tpu.ops.histeq import equalize_hist
+from caesar_yolo_tpu.utils import portable as _portable
 from caesar_yolo_tpu.ops.stats import (
     masked_max,
     masked_min,
@@ -59,20 +61,9 @@ def center_box_mask(h: int, w: int, fract: float) -> jnp.ndarray:
 
 
 def _per_channel(data, fn):
-    """Apply fn(channel_2d) -> (channel_2d, valid) over the last axis."""
-    outs, valids = [], []
-    for i in range(data.shape[-1]):
-        o, v = fn(data[:, :, i], i)
-        outs.append(o)
-        valids.append(v)
-    valid = valids[0]
-    for v in valids[1:]:
-        valid = valid & v
-    return jnp.stack(outs, axis=-1), valid
-
-
-def _batch_per_channel(data, fn):
-    """Batched analog: fn(chan[B, H, W], i) -> (chan', valid[B])."""
+    """Apply fn(chan, i) -> (chan', valid) over the last axis.  Works
+    for both the [H, W, C] per-image and [B, H, W, C] batched layouts
+    (fn sees [H, W] or [B, H, W] channels accordingly)."""
     outs, valids = [], []
     for i in range(data.shape[-1]):
         o, v = fn(data[..., i], i)
@@ -82,6 +73,10 @@ def _batch_per_channel(data, fn):
     for v in valids[1:]:
         valid = valid & v
     return jnp.stack(outs, axis=-1), valid
+
+
+# batched alias (fn receives chan[B, H, W] and returns valid[B])
+_batch_per_channel = _per_channel
 
 
 # ---------------------------------------------------------------------------
@@ -268,6 +263,15 @@ def log_stretcher(chid: int = -1, minmaxnorm: bool = False,
 
     NOTE the reference's inverted chid semantics: chid selects the channel
     to SKIP (preprocessing.py:487,506), replicated here.
+
+    PARITY NOTE: with minmaxnorm=False (the default) masked pixels
+    (exactly-0 / non-finite) come out at lg_min, NOT restored to 0 —
+    an intentional deviation from this module's masking convention
+    because the reference does exactly that (preprocessing.py:524
+    ``data_ch_lg[~cond_ch] = data_ch_lg_min``; only the minmaxnorm
+    branch restores 0 at :534).  A downstream min_max_normalizer will
+    therefore treat those pixels as real data, as it does in the
+    reference chain.
     """
 
     def fn(data):
@@ -681,19 +685,33 @@ class Pipeline:
         # callers route through THIS with a [1, ...] batch so stages
         # with native batch kernels (hist-eq/CLAHE/sigma-clip Pallas)
         # take them — the per-image XLA formulations of those
-        # histograms are the ones that hang real TPUs
-        self._run_batch = jax.jit(lambda tiles: self.apply_batch(tiles))
+        # histograms are the ones that hang real TPUs.  `native` is a
+        # STATIC argument (not read from portable.FORCE inside the
+        # trace) so the jit cache never serves a trace made under the
+        # opposite portability mode.
+        self._run_batch = jax.jit(
+            lambda tiles, native: self.apply_batch(tiles, native=native),
+            static_argnums=1)
 
     def __call__(self, data):
+        # On TPU backends route through the compiled batch-of-one path
+        # so stages with native batch kernels take them — the per-image
+        # XLA histogram formulations (hist-eq/CLAHE) hang real TPUs
+        # (ops/pallas_histeq.py).  On CPU the per-image XLA chain is
+        # safe and avoids interpret-mode Pallas cost.
+        if jax.default_backend() in ("tpu", "axon"):
+            return self.apply_one(data)
         return self._run(data)
 
     def apply_one(self, img):
         """[H, W, C] -> (out, valid) through the compiled BATCH path
         (as a batch of one) — identical numerics to apply_batch."""
-        out, valid = self._run_batch(jnp.asarray(img)[None])
+        out, valid = self._run_batch(jnp.asarray(img)[None],
+                                     not _portable.FORCE)
         return out[0], valid[0]
 
-    def apply_batch(self, tiles, out_dtype=jnp.float32, use_fused=False):
+    def apply_batch(self, tiles, out_dtype=jnp.float32, use_fused=False,
+                    native=None):
         """[B, H, W, C] -> (out, valid[B]).  Pure — traceable inside
         larger jitted programs.  The default path vmaps each stage and
         lets XLA fuse the chain (measured faster than the hand-fused
@@ -703,18 +721,20 @@ class Pipeline:
         histogram mis-lowers there (see ops/pallas_histeq).
         `use_fused=True` opts into the whole-pipeline Pallas variant
         when the stage pattern has one and input is single-channel.
-        Math is f32 either way; `out_dtype` casts the output."""
+        Math is f32 either way; `out_dtype` casts the output.
+        `native=False` (portable.FORCE / export tracing) skips the
+        native batch paths — their Mosaic kernels would not lower for
+        non-TPU platforms; None reads the flag at trace time."""
         if (use_fused and self.fused_batch is not None
                 and tiles.shape[-1] == 1):
             return self.fused_batch(tiles, out_dtype=out_dtype)
-        from caesar_yolo_tpu.utils import portable
+        if native is None:
+            native = not _portable.FORCE
         out = jnp.asarray(tiles, dtype=jnp.float32)
         valid = jnp.ones(tiles.shape[0], bool)
         for stage in self.stages:
             batch_fn = getattr(stage, "batch", None)
-            # portable.FORCE (export tracing): skip native batch paths —
-            # their Mosaic kernels would not lower for non-TPU platforms
-            if batch_fn is not None and not portable.FORCE:
+            if batch_fn is not None and native:
                 out, v = batch_fn(out)
             else:
                 out, v = jax.vmap(stage)(out)

@@ -151,7 +151,9 @@ def _row_shift_batch(imgs, shifts, pad, pad_val):
     """[B, H, W, C] rows shifted by [B, H] fractional amounts: Pallas
     lane-roll kernel on TPU, the equivalent dynamic-slice formulation
     elsewhere (identical results)."""
-    if jax.default_backend() == "tpu":
+    # 'axon' is this repo's TPU backend name on the tunneled chip (same
+    # gate as ops/pallas_upsample.py, models/pallas_attn.py)
+    if jax.default_backend() in ("tpu", "axon"):
         from caesar_yolo_tpu.ops.pallas_shift import \
             fractional_row_shift_batch
         return fractional_row_shift_batch(imgs, shifts, pad, pad_val)

@@ -415,3 +415,60 @@ def test_zscale_flat_after_clip_falls_back_to_range(rng):
     vmin, vmax = (float(a) for a in zscale_limits(jnp.asarray(img)))
     assert vmax > vmin
     np.testing.assert_allclose([vmin, vmax], [5.0, 10.0], rtol=1e-5)
+
+
+def test_pipeline_call_routes_batch_path_on_tpu(rng, monkeypatch):
+    """On TPU backends __call__ must take the compiled batch-of-one
+    path (native histogram kernels; the per-image XLA formulation
+    hangs real TPUs) and still match the per-image XLA chain."""
+    import jax
+    import jax.numpy as jnp
+
+    pipe = T.build_preprocessor(zscale_stretch=True, normalize_minmax=True)
+    img = jnp.asarray(rng.random((32, 32, 1)), jnp.float32)
+    ref_out, ref_valid = pipe._run(img)  # the per-image XLA chain
+
+    routed = []
+    real_apply_one = pipe.apply_one
+    monkeypatch.setattr(
+        pipe, "apply_one",
+        lambda im: routed.append(True) or real_apply_one(im))
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    out, valid = pipe(img)
+    assert routed, "__call__ on a TPU backend bypassed the batch path"
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out),
+                               atol=1e-6)
+    assert bool(valid) == bool(ref_valid)
+
+
+def test_pipeline_batch_portable_choice_is_cache_keyed(rng):
+    """apply_one's native-vs-portable stage choice must enter the jit
+    cache key: a TPU-mode trace must not be served from cache inside a
+    later portable_suppression() export trace (or vice versa)."""
+    import jax.numpy as jnp
+
+    pipe = T.build_preprocessor(zscale_stretch=True, normalize_minmax=True)
+    img = jnp.asarray(np.linspace(0, 1, 32 * 32, dtype=np.float32)
+                      .reshape(32, 32, 1))
+    out1, _ = pipe.apply_one(img)  # native=True trace
+    from caesar_yolo_tpu.detect.nms import portable_suppression
+    with portable_suppression():
+        out2, _ = pipe.apply_one(img)  # must trace native=False fresh
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out2),
+                               atol=1e-6)
+
+
+def test_ops_exports_every_transform_factory():
+    """zscale_transformer was the one factory missing from the package
+    exports; pin the whole documented set."""
+    import caesar_yolo_tpu.ops as O
+
+    for name in ("min_max_normalizer", "abs_min_max_normalizer",
+                 "max_scaler", "abs_max_scaler", "chan_max_scaler",
+                 "min_shifter", "shifter", "standardizer",
+                 "negative_data_fixer", "scaler", "log_stretcher",
+                 "border_masker", "bkg_subtractor", "sigma_clip_shifter",
+                 "sigma_clipper", "resizer", "chan_divider",
+                 "zscale_transformer", "hist_equalizer",
+                 "chan3_transformer", "chan_resizer"):
+        assert callable(getattr(O, name)), name

@@ -101,3 +101,50 @@ def test_portable_suppression_forces_xla(rng, monkeypatch):
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
     from caesar_yolo_tpu.utils import portable
     assert not portable.FORCE  # restored on exit
+
+
+def test_suppression_choice_is_jit_cache_keyed(rng, monkeypatch):
+    """The Pallas-vs-XLA suppression choice must be a STATIC argument of
+    the jitted NMS implementation, not a flag read inside the trace: a
+    first nms_batch call on one backend must not pin later calls (e.g.
+    a jax.export under portable_suppression, or the reverse ordering)
+    to the first-seen branch via the jit trace cache."""
+    a, nc = 64, 3
+    boxes = jnp.asarray(rng.random((1, a, 4)) * 50, jnp.float32)
+    boxes = boxes.at[..., 2:].add(60.0)  # x2>x1, y2>y1
+    scores = jnp.asarray(rng.random((1, a, nc)), jnp.float32)
+
+    # 1st call: CPU backend -> XLA path traced and cached
+    ref = nms_mod.nms_batch(boxes, scores)
+
+    # 2nd call, same shapes, backend now reports tpu: the resolver must
+    # produce a DIFFERENT cache key and reach the pallas entry point
+    called = []
+
+    def fake_suppress(boxes_t, valid, thr):
+        called.append(True)
+        nb = jnp.transpose(boxes_t, (0, 2, 1))
+        return jax.vmap(lambda b, v: nms_mod._suppress_xla(b, v, thr))(
+            nb, valid)
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(pk, "nms_suppress", fake_suppress)
+    got = nms_mod.nms_batch(boxes, scores)
+    assert called, ("stale jit cache: the TPU-backend call never reached "
+                    "the pallas suppression entry point")
+    for r, g in zip(ref, got):
+        np.testing.assert_array_equal(np.asarray(r), np.asarray(g))
+
+
+def test_use_pallas_resolver_knows_axon(monkeypatch):
+    """'axon' is this repo's TPU backend name on the tunneled chip; the
+    dispatch gate must treat it like 'tpu' (the sibling kernels'
+    gates already do) or the VMEM-resident kernel is dead code there."""
+    from caesar_yolo_tpu.utils import portable
+    for name in ("tpu", "axon"):
+        monkeypatch.setattr(jax, "default_backend", lambda n=name: n)
+        assert nms_mod._use_pallas_suppression()
+        with nms_mod.portable_suppression():
+            assert not nms_mod._use_pallas_suppression()
+    monkeypatch.setattr(jax, "default_backend", lambda: "cpu")
+    assert not nms_mod._use_pallas_suppression()
