@@ -307,12 +307,16 @@ def load_params(path: str):
 
 
 def _infer_model_name(stem: str) -> str:
-    """Exact stem if build_model parses it, else the first embedded
-    ``yolov8<s>`` / ``yolo11<s>`` architecture token in the stem."""
-    m = re.search(r"yolo(?:v8|11)[nslmx]", stem)
-    if not stem.startswith(("yolov8", "yolo11")) and m:
-        return m.group(0)
-    return stem
+    """Exact stem if it IS a valid architecture name, else the first
+    embedded ``yolov8<s>`` / ``yolo11<s>`` token in the stem, else the
+    stem unchanged (build_model then raises its clean ValueError).  The
+    fullmatch (not a startswith check) matters: 'yolo11best' starts
+    with a valid prefix but is NOT a valid name — the embedded-token
+    fallback must still apply to it."""
+    if re.fullmatch(r"yolo(?:v8|v11|11)[nsmlx]?", stem):
+        return stem
+    m = re.search(r"yolo(?:v8|v11|11)[nsmlx]", stem)
+    return m.group(0) if m else stem
 
 
 def convert_checkpoint(pt_path: str, out_path: str | None = None,

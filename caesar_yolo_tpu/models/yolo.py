@@ -367,6 +367,12 @@ def build_model(name: str, num_classes: int = 5, in_channels: int = 3) -> YOLO:
                             ("yolov11", "v11")):
         if name.startswith(prefix):
             scale = name[len(prefix):][:1] or "n"
+            if scale not in "nsmlx":
+                # validated HERE so 'yolo11best' fails with a usable
+                # message instead of a KeyError deep in graph building
+                raise ValueError(
+                    f"cannot parse model name {name!r}: scale {scale!r} "
+                    f"is not one of n/s/m/l/x")
             return YOLO(version, scale, num_classes, in_channels)
     raise ValueError(f"cannot parse model name {name!r}")
 

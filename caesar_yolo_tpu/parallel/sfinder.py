@@ -161,6 +161,7 @@ class SFinder:
         self.nx = self.ny = -1
         self.xmin = self.ymin = 0
         self._predictor = predictor  # compiled serial-path cache
+        self._image_cache = None  # PNG/JPEG decode reused by run()
 
     # -- image metadata ------------------------------------------------------
 
@@ -194,6 +195,7 @@ class SFinder:
                 res = read_image(cfg.image_path)
                 if res is None:
                     return -1
+                self._image_cache = res  # run() reuses (no double decode)
                 self.ny, self.nx = res[0].shape[:2]
             self.xmin, self.ymin = 0, 0
             self.xmax, self.ymax = self.nx - 1, self.ny - 1
@@ -229,10 +231,30 @@ class SFinder:
                 return -1
             image_data, header, _ = res
         elif ext in (".png", ".jpg", ".jpeg"):
-            res = read_image(cfg.image_path)
+            res = (self._image_cache if self._image_cache is not None
+                   else read_image(cfg.image_path))
             if res is None:
                 return -1
             image_data = res[0]
+            crop = (cfg.image_xmin >= 0 and cfg.image_xmax > 0
+                    and cfg.image_ymin >= 0 and cfg.image_ymax > 0)
+            if crop:
+                # the reference silently ignores the crop flags for
+                # PNG/JPEG (inference.py:511-519 reads the full image
+                # and predicts with xmin=ymin=0); here the crop is
+                # honored — Analyzer.predict gets the crop origin as
+                # offset, so the SLICE must be taken too or every
+                # catalog coordinate would shift by the origin without
+                # the pixels moving
+                h, w = image_data.shape[:2]
+                if cfg.image_xmax >= w or cfg.image_ymax >= h:
+                    logger.error(
+                        "Crop window [%d:%d, %d:%d] exceeds image size "
+                        "%dx%d!", cfg.image_xmin, cfg.image_xmax,
+                        cfg.image_ymin, cfg.image_ymax, w, h)
+                    return -1
+                image_data = image_data[cfg.image_ymin:cfg.image_ymax + 1,
+                                        cfg.image_xmin:cfg.image_xmax + 1]
         else:
             logger.error("Unsupported image format (%s) given!", ext)
             return -1
@@ -355,12 +377,18 @@ class SFinder:
     def _spool_file(self) -> str:
         """Per-process spool name: multi-host runs on a shared filesystem
         must not collide (the reference writes only from rank 0,
-        inference.py:641-648; our spool is per-rank local state)."""
+        inference.py:641-648; our spool is per-rank local state).  The
+        per-rank suffix applies to an explicit --spool_path too —
+        without it, N processes would interleave buffered appends into
+        ONE file and a later resume would parse garbage (or load the
+        other ranks' tiles and duplicate them after the allgather)."""
         import jax as _jax
-        suffix = (f".p{_jax.process_index()}"
-                  if _jax.process_count() > 1 else "")
-        return (self.config.spool_path
-                or f".{self.image_id}.tilespool{suffix}.jsonl")
+        base = (self.config.spool_path
+                or f".{self.image_id}.tilespool.jsonl")
+        if _jax.process_count() > 1:
+            root, ext = os.path.splitext(base)
+            base = f"{root}.p{_jax.process_index()}{ext}"
+        return base
 
     def _grid_signature(self) -> dict:
         """Everything that changes what a spooled tile result MEANS:
@@ -368,9 +396,16 @@ class SFinder:
         another geometry into the new one (wrong neighbors, stale tids).
         The image path is part of the signature: a spool shared across a
         datalist (or an auto-name collision between a/field.fits and
-        b/field.fits) must never stitch another image's tiles in."""
+        b/field.fits) must never stitch another image's tiles in.  The
+        tid stripe (process index/count) is too: spools are per-rank
+        files holding tid % nproc == rank results, so resuming under a
+        DIFFERENT topology would keep tiles the new stripe assigns to
+        other ranks — which recompute them, duplicating every source in
+        those tiles after the allgather."""
+        import jax as _jax
         cfg = self.config
         return {"image": cfg.image_path,
+                "stripe": [_jax.process_index(), _jax.process_count()],
                 "tile_xsize": cfg.tile_xsize, "tile_ysize": cfg.tile_ysize,
                 "tile_xstep": cfg.tile_xstep, "tile_ystep": cfg.tile_ystep,
                 "crop": [cfg.image_xmin, cfg.image_xmax,
@@ -388,25 +423,37 @@ class SFinder:
         if not os.path.exists(path):
             return done
         try:
-            with open(path) as f:
-                first = f.readline()
-                if not first:
-                    return done
-                head = json.loads(first)
-                if head.get("gridSig") != sig:
-                    logger.warning(
-                        "Ignoring spool %s: it was written under a "
-                        "different tiling/detection configuration "
-                        "(resume requires identical settings)", path)
-                    return done
-                for line in f:
+            f = open(path)
+        except OSError as e:
+            logger.warning("Ignoring unreadable spool %s (%s)", path, e)
+            return done
+        with f:
+            try:
+                head = json.loads(f.readline() or "null")
+            except ValueError:
+                head = None
+            if not isinstance(head, dict) or head.get("gridSig") != sig:
+                logger.warning(
+                    "Ignoring spool %s: it was written under a "
+                    "different tiling/detection configuration "
+                    "(resume requires identical settings)", path)
+                return done
+            for line in f:
+                # a crash mid-write (the exact failure mode the spool
+                # exists to survive) leaves one torn trailing line;
+                # keep every COMPLETE result and drop only the tail —
+                # clearing everything would recompute the whole run
+                try:
                     tr = json.loads(line)
                     done[tr["tileId"]] = tr
-            logger.info("Resuming: %d tile results loaded from %s",
-                        len(done), path)
-        except Exception as e:
-            logger.warning("Ignoring unreadable spool %s (%s)", path, e)
-            done.clear()
+                except Exception:
+                    logger.warning(
+                        "Dropping torn trailing record in spool %s "
+                        "(crash mid-write); keeping %d complete tile "
+                        "results", path, len(done))
+                    break
+        logger.info("Resuming: %d tile results loaded from %s",
+                    len(done), path)
         return done
 
     def _inference_mesh(self):

@@ -597,3 +597,128 @@ def test_datalist_per_image_spool_path():
     assert _per_image_path("s.jsonl", "a/field.fits", 3) == "s_field.jsonl"
     assert _per_image_path("s.jsonl", "x.fits", 1) == "s.jsonl"
     assert _per_image_path("", "x.fits", 3) == ""
+
+
+def test_spool_torn_tail_keeps_complete_results(tmp_path, tiny_model,
+                                                galaxy_fits_path,
+                                                monkeypatch):
+    """A crash mid spool-write (the exact failure the spool exists to
+    survive) leaves one torn trailing line; resume must keep every
+    COMPLETE tile result and drop only the tail — not clear everything
+    and recompute the whole run."""
+    m, p = tiny_model
+    monkeypatch.chdir(tmp_path)
+    fake_obj = {"name": "S1_t0", "x1": 1.0, "x2": 5.0, "y1": 1.0,
+                "y2": 5.0, "class_id": 1, "class_name": "compact",
+                "score": 0.99, "edge": 0}
+    cfg = SFinderConfig(
+        image_path=galaxy_fits_path, image_xmin=-1, image_xmax=-1,
+        image_ymin=-1, image_ymax=-1, img_size=64, score_thr=0.9999,
+        split_image_in_tiles=True, tile_xsize=66, tile_ysize=66,
+        batch_size=4, resume=True)
+    sf = SFinder(m, p, cfg, engine_kwargs={"compute_dtype": jnp.float32})
+    spool = tmp_path / ".galaxy0001.tilespool.jsonl"
+    spool.write_text(
+        json.dumps({"gridSig": sf._grid_signature()}) + "\n"
+        + json.dumps(
+            {"objs": [fake_obj], "tileId": 0, "workerId": 0,
+             "neighborTileIds": [], "xmin": 0, "xmax": 66, "ymin": 0,
+             "ymax": 66}) + "\n"
+        + '{"objs": [{"name": "S1_t1", "x1": 2.0, ')  # torn mid-write
+    done = sf._load_spool(sf._grid_signature())
+    assert set(done) == {0}  # complete line kept, torn tail dropped
+    assert sf.run_tiled() == 0
+    cat = json.loads((tmp_path / "catalog_galaxy0001.json").read_text())
+    assert 0.99 in {s["score"] for s in cat["sources"]}
+
+
+def test_spool_per_rank_suffix_and_stripe_signature(tmp_path, tiny_model,
+                                                    galaxy_fits_path,
+                                                    monkeypatch):
+    """Multi-host: an EXPLICIT --spool_path gets the per-rank suffix too
+    (N processes must never interleave appends into one file), and the
+    grid signature carries the tid stripe so a resume under a different
+    process count/index ignores the old spool instead of duplicating
+    tiles the new stripe assigns to other ranks."""
+    import jax as _jax
+    m, p = tiny_model
+    kw = dict(image_path=galaxy_fits_path, image_xmin=-1, image_xmax=-1,
+              image_ymin=-1, image_ymax=-1, img_size=64,
+              split_image_in_tiles=True, tile_xsize=66, tile_ysize=66,
+              resume=True, spool_path=str(tmp_path / "run.jsonl"))
+    sf = SFinder(m, p, SFinderConfig(**kw))
+    sig1 = sf._grid_signature()
+    assert sf._spool_file() == str(tmp_path / "run.jsonl")  # 1 process
+
+    monkeypatch.setattr(_jax, "process_count", lambda: 4)
+    monkeypatch.setattr(_jax, "process_index", lambda: 2)
+    sf2 = SFinder(m, p, SFinderConfig(**kw))
+    assert sf2._spool_file() == str(tmp_path / "run.p2.jsonl")
+    sig2 = sf2._grid_signature()  # snapshot under index=2
+    assert sig2 != sig1  # stripe is part of the sig
+    monkeypatch.setattr(_jax, "process_index", lambda: 3)
+    assert SFinder(m, p, SFinderConfig(**kw))._grid_signature() != sig2
+
+
+def test_sfinder_serial_png_crop(tmp_path, monkeypatch, tiny_model):
+    """A crop window on a PNG input must CROP the pixels, not just
+    offset the output coordinates (the reference silently ignores crop
+    for PNGs; honoring it requires slice + offset together)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from caesar_yolo_tpu.parallel import sfinder as sf_mod
+
+    m, p = tiny_model
+    rng = np.random.default_rng(0)
+    png = tmp_path / "img.png"
+    plt.imsave(str(png), rng.random((64, 64)), cmap="gray")
+    monkeypatch.chdir(tmp_path)
+
+    seen = {}
+    real_predict = sf_mod.Analyzer.predict
+
+    def spy(self, image, image_id, xmin=0, ymin=0, **kwargs):
+        seen["shape"] = np.asarray(image).shape[:2]
+        seen["origin"] = (xmin, ymin)
+        return real_predict(self, image, image_id, xmin=xmin, ymin=ymin,
+                            **kwargs)
+
+    monkeypatch.setattr(sf_mod.Analyzer, "predict", spy)
+    cfg = SFinderConfig(image_path=str(png), image_xmin=10, image_xmax=41,
+                        image_ymin=8, image_ymax=39, img_size=32,
+                        score_thr=1e-4)
+    sf = SFinder(m, p, cfg, engine_kwargs={"compute_dtype": jnp.float32})
+    assert sf.run() == 0
+    assert seen["shape"] == (32, 32)    # pixels actually cropped
+    assert seen["origin"] == (10, 8)    # coords land in full-image frame
+    # out-of-range window errors instead of silently mis-slicing
+    bad = SFinderConfig(image_path=str(png), image_xmin=10, image_xmax=64,
+                        image_ymin=8, image_ymax=39, img_size=32)
+    assert SFinder(m, p, bad).run() == -1
+
+
+def test_sfinder_serial_png_single_decode(tmp_path, monkeypatch,
+                                          tiny_model):
+    """Serial non-FITS runs must decode the image ONCE (the size probe
+    in set_img_size_params is reused by run())."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from caesar_yolo_tpu.parallel import sfinder as sf_mod
+
+    m, p = tiny_model
+    rng = np.random.default_rng(0)
+    png = tmp_path / "img.png"
+    plt.imsave(str(png), rng.random((64, 64)), cmap="gray")
+    monkeypatch.chdir(tmp_path)
+    calls = []
+    real = sf_mod.read_image
+    monkeypatch.setattr(sf_mod, "read_image",
+                        lambda path: calls.append(path) or real(path))
+    cfg = SFinderConfig(image_path=str(png), image_xmin=-1, image_xmax=-1,
+                        image_ymin=-1, image_ymax=-1, img_size=64,
+                        score_thr=1e-4)
+    sf = SFinder(m, p, cfg, engine_kwargs={"compute_dtype": jnp.float32})
+    assert sf.run() == 0
+    assert len(calls) == 1

@@ -272,3 +272,28 @@ def test_convert_cli_corrupt_pt_exits_cleanly(tmp_path):
     bad = tmp_path / "corrupt.pt"
     bad.write_bytes(b"PK\x03\x04 this is not a checkpoint")
     assert main([str(bad)]) == 1
+
+
+def test_infer_model_name_rules():
+    """Exact names pass through; stems merely CONTAINING a token match
+    by substring — including stems that START with a valid prefix but
+    are not valid names ('yolo11best' must not be trusted just because
+    of its prefix)."""
+    from caesar_yolo_tpu.models.convert import _infer_model_name
+    assert _infer_model_name("yolov8l") == "yolov8l"
+    assert _infer_model_name("yolo11x") == "yolo11x"
+    assert _infer_model_name("weights-yolov8l") == "yolov8l"
+    assert _infer_model_name("yolov8_yolo11l") == "yolo11l"
+    assert _infer_model_name("yolov11m_final") == "yolov11m"
+    # no valid token anywhere: pass through for build_model's error
+    assert _infer_model_name("yolo11best") == "yolo11best"
+
+
+def test_build_model_bad_scale_clean_error():
+    """A prefix-valid name with an unknown scale letter must raise the
+    documented ValueError, not a KeyError deep in graph building."""
+    from caesar_yolo_tpu.models.yolo import build_model
+    with pytest.raises(ValueError, match="scale"):
+        build_model("yolo11best")
+    with pytest.raises(ValueError, match="cannot parse"):
+        build_model("resnet50")
