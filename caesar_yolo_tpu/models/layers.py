@@ -428,15 +428,17 @@ class C2PSA:
 
 # Upsample formulation switch (A/B via CY_UPSAMPLE env or
 # set_upsample_mode): all modes are bit-exact pixel replication.
+#   broadcast broadcast_in_dim + reshape (one logical pass) — DEFAULT:
+#             fastest in isolation (2.26 vs 3.20 ms/batch for repeat on
+#             v5e) and e2e (yolo11l 1117 vs 1107 t/s, yolov8n 6501 vs
+#             6466 — onchip_r3b.log)
 #   repeat    two jnp.repeat passes (XLA materializes both: ~9 traffic
 #             units vs the 5-unit read-once/write-once floor)
-#   broadcast broadcast_in_dim + reshape (one logical pass; XLA may
-#             still materialize the relayout)
 #   pallas    single-pass VMEM kernel (ops/pallas_upsample.py), falls
 #             back to repeat off-TPU or for unsupported shapes
 import os as _os
 
-_UPSAMPLE_MODE = _os.environ.get("CY_UPSAMPLE", "repeat")
+_UPSAMPLE_MODE = _os.environ.get("CY_UPSAMPLE", "broadcast")
 
 
 def set_upsample_mode(mode: str) -> None:
