@@ -12,28 +12,38 @@ from __future__ import annotations
 
 
 def add_preprocessing_args(parser) -> None:
-    """Register the full preprocessing flag set (run.py defaults)."""
+    """Register the full preprocessing flag set (run.py defaults).
+
+    Eleven flags also take the reference's single-dash spelling
+    (``-sigma_clip_low`` etc. — reference scripts/run.py declares them
+    as ``('-name', '--name')`` pairs), so migrated invocations parse
+    unchanged."""
     parser.add_argument("--preprocessing", action="store_true")
     parser.add_argument("--normalize_minmax", action="store_true")
-    parser.add_argument("--norm_min", type=float, default=0.0)
-    parser.add_argument("--norm_max", type=float, default=1.0)
+    parser.add_argument("-norm_min", "--norm_min", type=float, default=0.0)
+    parser.add_argument("-norm_max", "--norm_max", type=float, default=1.0)
     parser.add_argument("--subtract_bkg", action="store_true")
-    parser.add_argument("--sigma_bkg", type=float, default=3.0)
+    parser.add_argument("-sigma_bkg", "--sigma_bkg", type=float, default=3.0)
     parser.add_argument("--use_box_mask_in_bkg", action="store_true")
-    parser.add_argument("--bkg_box_mask_fract", type=float, default=0.7)
-    parser.add_argument("--bkg_chid", type=int, default=-1)
+    parser.add_argument("-bkg_box_mask_fract", "--bkg_box_mask_fract",
+                        type=float, default=0.7)
+    parser.add_argument("-bkg_chid", "--bkg_chid", type=int, default=-1)
     parser.add_argument("--clip_shift_data", action="store_true")
-    parser.add_argument("--sigma_clip", type=float, default=1.0)
+    parser.add_argument("-sigma_clip", "--sigma_clip", type=float,
+                        default=1.0)
     parser.add_argument("--clip_data", action="store_true")
-    parser.add_argument("--sigma_clip_low", type=float, default=10.0)
-    parser.add_argument("--sigma_clip_up", type=float, default=10.0)
-    parser.add_argument("--clip_chid", type=int, default=-1)
+    parser.add_argument("-sigma_clip_low", "--sigma_clip_low", type=float,
+                        default=10.0)
+    parser.add_argument("-sigma_clip_up", "--sigma_clip_up", type=float,
+                        default=10.0)
+    parser.add_argument("-clip_chid", "--clip_chid", type=int, default=-1)
     parser.add_argument("--zscale_stretch", action="store_true")
     parser.add_argument("--zscale_contrasts", type=str,
                         default="0.25,0.25,0.25")
     parser.add_argument("--chan3_preproc", action="store_true")
-    parser.add_argument("--sigma_clip_baseline", type=float, default=0.0)
-    parser.add_argument("--nchannels", type=int, default=1)
+    parser.add_argument("-sigma_clip_baseline", "--sigma_clip_baseline",
+                        type=float, default=0.0)
+    parser.add_argument("-nchannels", "--nchannels", type=int, default=1)
 
 
 def build_preprocessor_from_args(args):

@@ -223,6 +223,25 @@ def test_cli_validation(tmp_path):
     assert validate_args(args) == -1
 
 
+def test_cli_single_dash_aliases():
+    """The reference declares eleven preprocessing flags as
+    ('-name', '--name') pairs (reference scripts/run.py:80-107); migrated
+    invocations using the single-dash spelling must parse unchanged."""
+    from caesar_yolo_tpu.cli.run import parse_args
+    args = parse_args([
+        "--weights=w.npz", "--image=i.fits", "--preprocessing",
+        "-sigma_clip_low=2.5", "-sigma_clip_up=3.5", "-sigma_bkg=4.0",
+        "-norm_min=0.1", "-norm_max=0.9", "-nchannels=3",
+        "-bkg_box_mask_fract=0.5", "-bkg_chid=1", "-clip_chid=2",
+        "-sigma_clip=1.5", "-sigma_clip_baseline=0.5"])
+    assert args.sigma_clip_low == 2.5 and args.sigma_clip_up == 3.5
+    assert args.sigma_bkg == 4.0 and args.nchannels == 3
+    assert (args.norm_min, args.norm_max) == (0.1, 0.9)
+    assert args.bkg_box_mask_fract == 0.5
+    assert (args.bkg_chid, args.clip_chid) == (1, 2)
+    assert args.sigma_clip == 1.5 and args.sigma_clip_baseline == 0.5
+
+
 def test_train_cli_smoke(tmp_path, monkeypatch):
     """One tiny epoch through the full training CLI: dataset -> augment ->
     sharded trainer -> checkpoint."""
