@@ -158,6 +158,12 @@ class Conv:
         # Inference keeps the f32 output for bit-stable BN/epilogue math.
         acc = dtype if (_TRAIN_MODE and dtype == jnp.bfloat16) \
             else jnp.float32
+        # 3x3 depthwise stages (v11 head cls branch, C2PSA positional
+        # encoding) stay on XLA's grouped conv: it runs ~4.7x above the
+        # HBM read+write floor, but both VPU reformulations measured
+        # SLOWER on-chip (shift9 ~2x, VMEM-resident Pallas ~1.9x — the
+        # sublane-dim shift concats are relayout-bound; see
+        # scripts/probe_dwconv.py, 2026-08-19)
         y = _conv2d(x, params["w"].astype(dtype), self.s, self.pad,
                     self.groups, acc_type=acc)
         if "bn" in params:

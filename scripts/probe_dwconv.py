@@ -11,7 +11,24 @@ A/Bs, at the three yolo11l head shapes (B=128):
             (the shipped formulation, models/layers.py:_conv2d)
   shift9    sum of 9 pad-and-slice shifted elementwise products — pure
             VPU/bandwidth work, no conv op at all
-  unrolled  9 separate w[ky,kx] * dynamic-slice terms accumulated in f32
+  pallas    VMEM-resident per-image plane: one HBM read of x, 9
+            static-shift MACs (concat-based shifts) on the VPU, one
+            HBM write — the read+write bandwidth floor formulation
+
+VERDICT (measured on the real chip 2026-08-19, both runs): grouped
+WINS at every head shape —
+
+  shape               grouped   shift9   pallas
+  [128, 80, 80, 256]  4.86 ms   10.42    9.11
+  [128, 40, 40, 512]  2.94      5.55     5.04
+  [128, 20, 20, 512]  1.05      1.75     2.20
+
+XLA's grouped conv sits ~4.7x above the HBM read+write floor
+(98-173 GB/s), but both VPU reformulations are relayout-bound: the
+W-axis shifts are sublane-dim concats that Mosaic materializes as
+full-plane relayouts per tap (the same pathology the single-pass
+Pallas upsample hit, STATUS note 10).  REJECTED — models/layers.py
+keeps lax.conv_general_dilated with feature_group_count=C.
 
 Method per STATUS note 1: isolated timings on this relay-backed chip are
 only meaningful as in-graph chained loops; this probe runs each
@@ -47,6 +64,61 @@ def dw_grouped(x, w):
         preferred_element_type=jnp.float32)
 
 
+def _dw_kernel(x_ref, w_ref, o_ref):
+    """Per-image [H, W, C] plane resident in VMEM; 3x3 depthwise conv as
+    9 shifted multiply-accumulates.  Shifts along H are address offsets
+    (outer dim); shifts along W are sublane-dim concats."""
+    x = x_ref[0]                                       # [H, W, C]
+    h, wd, c = x.shape
+    wt = w_ref[...].astype(jnp.float32)                # [3, 3, 1, C]
+
+    def shift(a, dy, dx):
+        if dy == 1:
+            a = jnp.concatenate(
+                [a[1:], jnp.zeros((1, wd, c), a.dtype)], axis=0)
+        elif dy == -1:
+            a = jnp.concatenate(
+                [jnp.zeros((1, wd, c), a.dtype), a[:-1]], axis=0)
+        if dx == 1:
+            a = jnp.concatenate(
+                [a[:, 1:], jnp.zeros((h, 1, c), a.dtype)], axis=1)
+        elif dx == -1:
+            a = jnp.concatenate(
+                [jnp.zeros((h, 1, c), a.dtype), a[:, :-1]], axis=1)
+        return a
+
+    acc = x.astype(jnp.float32) * wt[1, 1, 0]
+    for ky in range(3):
+        for kx in range(3):
+            if ky == 1 and kx == 1:
+                continue
+            acc = acc + (shift(x, ky - 1, kx - 1).astype(jnp.float32)
+                         * wt[ky, kx, 0])
+    o_ref[0] = acc
+
+
+def dw_pallas(x, w):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    b, h, wd, c = x.shape
+    return pl.pallas_call(
+        _dw_kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, h, wd, c), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, 3, 1, c), lambda i: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, h, wd, c), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h, wd, c), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024),
+        interpret=os.environ.get("PROBE_TINY") == "1",
+    )(x, w)
+
+
 def dw_shift9(x, w):
     """9 shifted elementwise products over a zero-padded copy."""
     b, h, wd, c = x.shape
@@ -77,11 +149,14 @@ def main():
 
         ref = np.asarray(dw_grouped(x, w), np.float32)
         alt = np.asarray(dw_shift9(x, w), np.float32)
-        maxdiff = float(np.max(np.abs(ref - alt)))
+        alt2 = np.asarray(dw_pallas(x, w), np.float32)
+        maxdiff = max(float(np.max(np.abs(ref - alt))),
+                      float(np.max(np.abs(ref - alt2))))
         scale = float(np.max(np.abs(ref))) or 1.0
 
         results = {}
-        for name, fn in (("grouped", dw_grouped), ("shift9", dw_shift9)):
+        for name, fn in (("grouped", dw_grouped), ("shift9", dw_shift9),
+                         ("pallas", dw_pallas)):
             @jax.jit
             def loop(x, w, fn=fn):
                 def body(_, acc):
