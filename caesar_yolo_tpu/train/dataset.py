@@ -28,28 +28,46 @@ IMG_EXTS = (".png", ".jpg", ".jpeg", ".fits")
 
 
 def parse_dataset_yaml(path: str) -> dict:
-    """Minimal YAML subset parser for ultralytics dataset files
-    (flat `key: value` plus a `names:` block)."""
+    """Minimal YAML subset parser for ultralytics dataset files: flat
+    `key: value` pairs plus a `names:` block in any of the three
+    spellings ultralytics accepts — `idx: name` mapping lines, `- name`
+    list lines, or an inline flow list `names: [a, b, c]`."""
     out: dict = {}
     names: dict = {}
+    name_list: list = []
     in_names = False
     with open(path) as f:
         for line in f:
             if not line.strip() or line.strip().startswith("#"):
                 continue
-            if re.match(r"^names\s*:", line):
-                in_names = True
+            m = re.match(r"^names\s*:\s*(.*)$", line)
+            if m:
+                inline = m.group(1).strip()
+                if inline.startswith("[") and inline.endswith("]"):
+                    name_list = [v.strip().strip("'\"")
+                                 for v in inline[1:-1].split(",")
+                                 if v.strip()]
+                    in_names = False
+                else:
+                    in_names = True
                 continue
-            m = re.match(r"^\s+(\d+)\s*:\s*(.+)$", line)
-            if in_names and m:
-                names[int(m.group(1))] = m.group(2).strip().strip("'\"")
-                continue
-            in_names = False
+            if in_names:
+                m = re.match(r"^\s+(\d+)\s*:\s*(.+)$", line)
+                if m:
+                    names[int(m.group(1))] = m.group(2).strip().strip("'\"")
+                    continue
+                m = re.match(r"^\s*-\s*(.+)$", line)
+                if m:
+                    name_list.append(m.group(1).strip().strip("'\""))
+                    continue
+                in_names = False
             m = re.match(r"^(\w+)\s*:\s*(.+)$", line)
             if m:
                 out[m.group(1)] = m.group(2).strip().strip("'\"")
     if names:
         out["names"] = [names[i] for i in sorted(names)]
+    elif name_list:
+        out["names"] = name_list
     return out
 
 

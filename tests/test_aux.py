@@ -209,6 +209,21 @@ def test_dataset_yaml(tmp_path):
     assert len(ds.paths) == 6
 
 
+def test_dataset_yaml_names_spellings(tmp_path):
+    """ultralytics accepts three names: spellings — list block, inline
+    flow list, and idx mapping; all must parse identically."""
+    (tmp_path / "list.yaml").write_text(
+        "path: /d\ntrain: images\nnames:\n  - spurious\n  - compact\n"
+        "val: images\n")
+    spec = parse_dataset_yaml(str(tmp_path / "list.yaml"))
+    assert spec["names"] == ["spurious", "compact"]
+    assert spec["val"] == "images"  # list block must not eat later keys
+    (tmp_path / "flow.yaml").write_text(
+        "train: images\nnames: ['spurious', compact, extended]\n")
+    spec = parse_dataset_yaml(str(tmp_path / "flow.yaml"))
+    assert spec["names"] == ["spurious", "compact", "extended"]
+
+
 def test_cli_validation(tmp_path):
     from caesar_yolo_tpu.cli.run import parse_args, validate_args
     args = parse_args(["--weights=/nonexistent.npz", "--image=/nope.fits"])
