@@ -31,6 +31,15 @@ def parse_args(argv=None):
     p.add_argument("--lrf", type=float, default=0.01)
     p.add_argument("--weights", default="",
                    help="initial weights (.npz) for fine-tuning")
+    p.add_argument("--resume", default="",
+                   help="resume an interrupted run from a checkpoint "
+                        "directory written by this trainer (restores "
+                        "params, EMA, optimizer momentum, and the "
+                        "LR-schedule position; the reference's "
+                        "ultralytics resume=True analog, "
+                        "macros/run_train.py:23).  Pass a specific "
+                        "step_N/last/best path or the --checkpoint_dir "
+                        "to pick the latest")
     p.add_argument("--checkpoint_dir", default="runs/train")
     p.add_argument("--checkpoint_every", type=int, default=10)
     p.add_argument("--max_gt", type=int, default=64)
@@ -64,6 +73,36 @@ def parse_args(argv=None):
                         "criterion ultralytics' trainer uses for "
                         "best.pt)")
     return p.parse_args(argv)
+
+
+def resolve_resume_checkpoint(path: str) -> str:
+    """Resolve --resume to a concrete checkpoint directory.  Accepts a
+    checkpoint itself (a directory orbax wrote: has a params/ entry) or a
+    --checkpoint_dir containing step_N/last/best, picking 'last' when a
+    run completed, else the highest step_N (never 'best' — it is the
+    val-gated snapshot, not the latest optimizer state)."""
+    import os
+    import re as _re
+
+    def is_ckpt(p):
+        return (os.path.exists(os.path.join(p, "_CHECKPOINT_METADATA"))
+                or os.path.exists(os.path.join(p, "_METADATA")))
+
+    if is_ckpt(path):
+        return path
+    if is_ckpt(os.path.join(path, "last")):
+        return os.path.join(path, "last")
+    steps = []
+    if os.path.isdir(path):
+        for name in os.listdir(path):
+            m = _re.fullmatch(r"step_(\d+)", name)
+            if m and is_ckpt(os.path.join(path, name)):
+                steps.append((int(m.group(1)), name))
+    if steps:
+        return os.path.join(path, max(steps)[1])
+    raise FileNotFoundError(
+        f"--resume={path}: no checkpoint found (expected an orbax "
+        f"checkpoint directory or one containing last/step_N)")
 
 
 def list_val_images(args) -> list[str] | None:
@@ -124,6 +163,14 @@ def main(argv=None) -> int:
                       steps_per_epoch=max(len(dataset), 1))
     logger.info("Training %s on %d device(s), %d batches/epoch",
                 args.model, n_dev, len(dataset))
+
+    start_epoch = 0
+    if args.resume:
+        ckpt = resolve_resume_checkpoint(args.resume)
+        step = trainer.restore(ckpt)
+        start_epoch = min(step // max(len(dataset), 1), args.epochs)
+        logger.info("Resuming at epoch %d/%d (step %d)",
+                    start_epoch, args.epochs, step)
 
     key = jax.random.PRNGKey(args.seed)
 
@@ -186,7 +233,7 @@ def main(argv=None) -> int:
                                     name="best")
         return metric
 
-    for epoch in range(args.epochs):
+    for epoch in range(start_epoch, args.epochs):
         trainer.fit(augmented(epoch), epochs=1,
                     checkpoint_dir=None)
         if args.checkpoint_dir and (epoch + 1) % args.checkpoint_every == 0:

@@ -305,6 +305,7 @@ class Trainer:
         ckptr.save(path, {
             "params": jax.device_get(self.state.params),
             "ema_params": jax.device_get(self.state.ema_params),
+            "opt_state": jax.device_get(self.state.opt_state),
             "step": int(self.state.step),
         }, force=True)
         ckptr.wait_until_finished()
@@ -315,3 +316,54 @@ class Trainer:
         import orbax.checkpoint as ocp
         ckptr = ocp.StandardCheckpointer()
         return ckptr.restore(os.path.abspath(directory_or_path))
+
+    def restore(self, directory_or_path: str) -> int:
+        """Resume training from a save_checkpoint directory: params, EMA,
+        optimizer state (momentum trace + schedule counters), and the step
+        counter — the LR/momentum schedules key off state.step, so the
+        schedule position resumes exactly (the reference's ultralytics
+        resume=True analog, macros/run_train.py:23).  Checkpoints written
+        before opt_state was saved resume with fresh momentum and a
+        warning.  Returns the restored step."""
+        import orbax.checkpoint as ocp
+        path = os.path.abspath(directory_or_path)
+        ckptr = ocp.StandardCheckpointer()
+        plain = ckptr.restore(path)
+        has_opt = "opt_state" in plain
+        template = {
+            "params": self.state.params,
+            "ema_params": self.state.ema_params,
+            "step": 0,
+        }
+        if has_opt:
+            # second restore against the live-state template so orbax
+            # reconstructs the exact optax namedtuple structure (a plain
+            # restore returns generic dicts whose flatten order need not
+            # match the namedtuple field order)
+            template["opt_state"] = self.state.opt_state
+            abstract = jax.tree_util.tree_map(
+                lambda x: jax.ShapeDtypeStruct(jnp.shape(x),
+                                               jnp.result_type(x)),
+                template)
+            plain = ckptr.restore(path, abstract)
+        else:
+            logger.warning(
+                "Checkpoint %s has no optimizer state (pre-resume format); "
+                "resuming with fresh momentum", path)
+        state = TrainState(
+            params=plain["params"],
+            opt_state=plain["opt_state"] if has_opt
+            else self.tx.init(plain["params"]),
+            ema_params=plain.get("ema_params", plain["params"]),
+            step=jnp.asarray(int(plain["step"]), jnp.int32),
+        )
+        if self.mesh is not None:
+            rsh = replicated_sharding(self.mesh)
+            state = TrainState(
+                params=jax.device_put(state.params, rsh),
+                opt_state=jax.device_put(state.opt_state, rsh),
+                ema_params=jax.device_put(state.ema_params, rsh),
+                step=jax.device_put(state.step, rsh))
+        self.state = state
+        logger.info("Resumed from %s at step %d", path, int(plain["step"]))
+        return int(plain["step"])

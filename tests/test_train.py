@@ -235,3 +235,85 @@ def test_trainer_checkpoint_roundtrip(tmp_path, tiny_setup):
     orig = jax.tree_util.tree_leaves(jax.device_get(trainer.state.params))
     back = jax.tree_util.tree_leaves(restored["params"])
     assert all(np.allclose(a, b) for a, b in zip(orig, back))
+
+
+def _tree_equal(a, b):
+    la = jax.tree_util.tree_leaves(jax.device_get(a))
+    lb = jax.tree_util.tree_leaves(jax.device_get(b))
+    return len(la) == len(lb) and all(
+        np.array_equal(np.asarray(x), np.asarray(y))
+        for x, y in zip(la, lb))
+
+
+def test_trainer_resume_is_bit_exact(tmp_path, tiny_setup):
+    """Interrupt-at-step-2 + restore must replay the exact uninterrupted
+    trajectory: params, EMA, optimizer momentum, and the LR/momentum
+    schedule position all come back (the ultralytics resume=True analog,
+    reference macros/run_train.py:23).  Warmup epochs > 0 so the schedule
+    position actually matters."""
+    model, params, images, gl, gb, mg = tiny_setup
+    cfg = TrainConfig(epochs=2, batch_size=2, img_size=64, lr0=1e-3,
+                      warmup_epochs=1.0)
+
+    straight = Trainer(model, params, cfg, steps_per_epoch=2)
+    for _ in range(4):
+        straight.train_step(images, gl, gb, mg)
+
+    interrupted = Trainer(model, params, cfg, steps_per_epoch=2)
+    for _ in range(2):
+        interrupted.train_step(images, gl, gb, mg)
+    interrupted.save_checkpoint(str(tmp_path), name="last")
+
+    resumed = Trainer(model, params, cfg, steps_per_epoch=2)
+    step = resumed.restore(str(tmp_path / "last"))
+    assert step == 2
+    # optimizer state restored exactly — momentum trace is the part a
+    # params-only reload loses
+    assert _tree_equal(resumed.state.opt_state, interrupted.state.opt_state)
+    for _ in range(2):
+        resumed.train_step(images, gl, gb, mg)
+    assert int(resumed.state.step) == 4
+    assert _tree_equal(resumed.state.params, straight.state.params)
+    assert _tree_equal(resumed.state.ema_params, straight.state.ema_params)
+    assert _tree_equal(resumed.state.opt_state, straight.state.opt_state)
+
+
+def test_resume_checkpoint_resolution(tmp_path, tiny_setup):
+    from caesar_yolo_tpu.cli.train import resolve_resume_checkpoint
+    model, params, images, gl, gb, mg = tiny_setup
+    cfg = TrainConfig(epochs=1, batch_size=2, img_size=64)
+    trainer = Trainer(model, params, cfg, steps_per_epoch=1)
+    trainer.train_step(images, gl, gb, mg)
+    trainer.save_checkpoint(str(tmp_path), step=1)
+    trainer.save_checkpoint(str(tmp_path), step=3)
+    # no 'last' yet (interrupted run): highest step_N wins
+    assert resolve_resume_checkpoint(str(tmp_path)).endswith("step_3")
+    trainer.save_checkpoint(str(tmp_path), name="last")
+    assert resolve_resume_checkpoint(str(tmp_path)).endswith("last")
+    # a concrete checkpoint path passes through
+    p = str(tmp_path / "step_1")
+    assert resolve_resume_checkpoint(p) == p
+    import pytest as _pytest
+    with _pytest.raises(FileNotFoundError):
+        resolve_resume_checkpoint(str(tmp_path / "nowhere"))
+
+
+def test_resume_pre_optstate_checkpoint_warns_and_loads(tmp_path,
+                                                        tiny_setup):
+    """Checkpoints from before opt_state was saved still resume (fresh
+    momentum), instead of failing the restore."""
+    import orbax.checkpoint as ocp
+    model, params, images, gl, gb, mg = tiny_setup
+    cfg = TrainConfig(epochs=1, batch_size=2, img_size=64)
+    trainer = Trainer(model, params, cfg, steps_per_epoch=1)
+    trainer.train_step(images, gl, gb, mg)
+    legacy = {"params": jax.device_get(trainer.state.params),
+              "ema_params": jax.device_get(trainer.state.ema_params),
+              "step": 5}
+    ck = ocp.StandardCheckpointer()
+    ck.save(str(tmp_path / "old"), legacy, force=True)
+    ck.wait_until_finished()
+    fresh = Trainer(model, params, cfg, steps_per_epoch=1)
+    assert fresh.restore(str(tmp_path / "old")) == 5
+    assert int(fresh.state.step) == 5
+    assert _tree_equal(fresh.state.params, trainer.state.params)
