@@ -77,10 +77,14 @@ def parse_args(argv=None):
 
 def resolve_resume_checkpoint(path: str) -> str:
     """Resolve --resume to a concrete checkpoint directory.  Accepts a
-    checkpoint itself (a directory orbax wrote: has a params/ entry) or a
-    --checkpoint_dir containing step_N/last/best, picking 'last' when a
-    run completed, else the highest step_N (never 'best' — it is the
-    val-gated snapshot, not the latest optimizer state)."""
+    checkpoint itself (a directory orbax wrote: has a params/ entry) or
+    a --checkpoint_dir containing step_N/last/best, picking whichever
+    candidate holds the HIGHEST optimizer step (never 'best' — it is
+    the val-gated snapshot, not the latest optimizer state).  An old
+    completed run's 'last' must not shadow a newer interrupted run's
+    step_N, so candidates are ranked by the step recorded in the
+    `<ckpt>.step` sidecar; a legacy 'last' without a sidecar falls back
+    to reading the step stored inside the checkpoint."""
     import os
     import re as _re
 
@@ -88,18 +92,32 @@ def resolve_resume_checkpoint(path: str) -> str:
         return (os.path.exists(os.path.join(p, "_CHECKPOINT_METADATA"))
                 or os.path.exists(os.path.join(p, "_METADATA")))
 
+    def ckpt_step(p):
+        try:
+            with open(p + ".step") as f:
+                return int(f.read().strip())
+        except (OSError, ValueError):
+            pass
+        try:  # legacy checkpoint without sidecar: read the stored step
+            from caesar_yolo_tpu.train import Trainer
+            return int(Trainer.load_checkpoint(p).get("step", 0))
+        except Exception:
+            return 0
+
     if is_ckpt(path):
         return path
-    if is_ckpt(os.path.join(path, "last")):
-        return os.path.join(path, "last")
-    steps = []
+    candidates = []  # (step, tiebreak, path) — 'last' wins ties
     if os.path.isdir(path):
+        last = os.path.join(path, "last")
+        if is_ckpt(last):
+            candidates.append((ckpt_step(last), 1, last))
         for name in os.listdir(path):
             m = _re.fullmatch(r"step_(\d+)", name)
-            if m and is_ckpt(os.path.join(path, name)):
-                steps.append((int(m.group(1)), name))
-    if steps:
-        return os.path.join(path, max(steps)[1])
+            p = os.path.join(path, name)
+            if m and is_ckpt(p):
+                candidates.append((ckpt_step(p) or int(m.group(1)), 0, p))
+    if candidates:
+        return max(candidates)[2]
     raise FileNotFoundError(
         f"--resume={path}: no checkpoint found (expected an orbax "
         f"checkpoint directory or one containing last/step_N)")
@@ -172,10 +190,13 @@ def main(argv=None) -> int:
         logger.info("Resuming at epoch %d/%d (step %d)",
                     start_epoch, args.epochs, step)
 
-    key = jax.random.PRNGKey(args.seed)
-
     def augmented(epoch):
-        nonlocal key
+        # Key the sample order AND the augmentation stream off
+        # (seed, epoch) — not a running key from PRNGKey(seed) — so a
+        # resumed epoch N draws exactly what an uninterrupted run drew
+        # (otherwise resume replays epoch 0's shuffle + augmentations).
+        dataset.set_epoch(epoch)
+        key = jax.random.fold_in(jax.random.PRNGKey(args.seed), epoch)
         for imgs, labels, boxes, masks in dataset:
             if args.no_augment:
                 yield imgs, labels, boxes, masks
@@ -199,7 +220,10 @@ def main(argv=None) -> int:
             score_thr=args.val_score_thr, batch_size=min(batch, 32))
         logger.info("Validating on %d images every %d epoch(s)",
                     len(val_paths), max(args.val_every, 1))
-    best_metric = -1.0
+    # On --resume the checkpoint carries the best metric seen before the
+    # interruption (restored by trainer.restore), so the first post-resume
+    # validation can't silently overwrite a better 'best' snapshot.
+    best_metric = trainer.best_metric
 
     def run_validation(epoch, calibrate=True):
         nonlocal best_metric
@@ -229,6 +253,7 @@ def main(argv=None) -> int:
         metric = fitness if args.gate_metric == "fitness" else f1
         if metric > best_metric:
             best_metric = metric
+            trainer.best_metric = metric  # persisted into every ckpt
             trainer.save_checkpoint(args.checkpoint_dir, step=epoch,
                                     name="best")
         return metric

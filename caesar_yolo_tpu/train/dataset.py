@@ -27,26 +27,62 @@ from caesar_yolo_tpu.utils.fits import read_fits, read_image
 IMG_EXTS = (".png", ".jpg", ".jpeg", ".fits")
 
 
+def _split_flow_list(inner: str) -> list[str]:
+    """Split the inside of a YAML flow list `[...]` into items,
+    respecting single/double quotes so names containing commas
+    (`['a, b', c]`) stay one item.  Raises on an unterminated quote
+    rather than silently mis-splitting (class-id/name alignment feeds
+    every downstream catalog)."""
+    items, buf, quote = [], [], None
+    for ch in inner:
+        if quote:
+            if ch == quote:
+                quote = None
+            else:
+                buf.append(ch)
+        elif ch in "'\"":
+            quote = ch
+        elif ch == ",":
+            items.append("".join(buf).strip())
+            buf = []
+        else:
+            buf.append(ch)
+    if quote:
+        raise ValueError(f"unterminated quote in names list: [{inner}]")
+    items.append("".join(buf).strip())
+    return [v for v in items if v]
+
+
 def parse_dataset_yaml(path: str) -> dict:
     """Minimal YAML subset parser for ultralytics dataset files: flat
     `key: value` pairs plus a `names:` block in any of the three
     spellings ultralytics accepts — `idx: name` mapping lines, `- name`
-    list lines, or an inline flow list `names: [a, b, c]`."""
+    list lines, or an inline flow list `names: [a, b, c]` (single- or
+    multi-line, quote-aware)."""
     out: dict = {}
     names: dict = {}
     name_list: list = []
     in_names = False
+    flow_buf: str | None = None  # accumulating a multi-line [...] list
     with open(path) as f:
         for line in f:
             if not line.strip() or line.strip().startswith("#"):
+                continue
+            if flow_buf is not None:
+                flow_buf += " " + line.strip()
+                if flow_buf.rstrip().endswith("]"):
+                    name_list = _split_flow_list(
+                        flow_buf.strip()[1:-1])
+                    flow_buf = None
                 continue
             m = re.match(r"^names\s*:\s*(.*)$", line)
             if m:
                 inline = m.group(1).strip()
                 if inline.startswith("[") and inline.endswith("]"):
-                    name_list = [v.strip().strip("'\"")
-                                 for v in inline[1:-1].split(",")
-                                 if v.strip()]
+                    name_list = _split_flow_list(inline[1:-1])
+                    in_names = False
+                elif inline.startswith("["):
+                    flow_buf = inline
                     in_names = False
                 else:
                     in_names = True
@@ -64,6 +100,8 @@ def parse_dataset_yaml(path: str) -> dict:
             m = re.match(r"^(\w+)\s*:\s*(.+)$", line)
             if m:
                 out[m.group(1)] = m.group(2).strip().strip("'\"")
+    if flow_buf is not None:
+        raise ValueError(f"{path}: unterminated names flow list")
     if names:
         out["names"] = [names[i] for i in sorted(names)]
     elif name_list:
@@ -185,8 +223,16 @@ class DetectionDataset:
         self.batch_size = batch_size
         self.max_gt = max_gt
         self.shuffle = shuffle
+        self.seed = seed
         self.rng = np.random.default_rng(seed)
         self.workers = workers
+
+    def set_epoch(self, epoch: int):
+        """Reseed the shuffle rng as a pure function of (seed, epoch) so
+        a --resume run at epoch N sees the same sample order an
+        uninterrupted run saw — without this, resuming replays epoch 0's
+        shuffle stream (the torch DistributedSampler.set_epoch analog)."""
+        self.rng = np.random.default_rng([self.seed, int(epoch)])
 
     def __len__(self):
         return len(self.paths) // self.batch_size

@@ -140,6 +140,10 @@ class Trainer:
                 ema_params=jax.device_put(state.ema_params, rsh),
                 step=jax.device_put(state.step, rsh))
         self.state = state
+        # Best validation metric seen so far; persisted in checkpoints so
+        # a --resume run never lets a worse epoch overwrite 'best' (the
+        # ultralytics resume path restores best_fitness the same way).
+        self.best_metric = -1.0
         self._step_fn = self._build_step()
 
     def _build_step(self):
@@ -307,8 +311,17 @@ class Trainer:
             "ema_params": jax.device_get(self.state.ema_params),
             "opt_state": jax.device_get(self.state.opt_state),
             "step": int(self.state.step),
+            "best_metric": float(self.best_metric),
         }, force=True)
         ckptr.wait_until_finished()
+        # Sidecar with the optimizer step, written NEXT to the orbax dir
+        # (not inside it) so resume resolution can rank 'last' vs step_N
+        # checkpoints without a full restore.
+        try:
+            with open(path + ".step", "w") as f:
+                f.write(f"{int(self.state.step)}\n")
+        except OSError:
+            pass
         logger.info("Saved checkpoint %s", path)
 
     @staticmethod
@@ -330,11 +343,14 @@ class Trainer:
         ckptr = ocp.StandardCheckpointer()
         plain = ckptr.restore(path)
         has_opt = "opt_state" in plain
+        best_metric = float(plain.get("best_metric", -1.0))
         template = {
             "params": self.state.params,
             "ema_params": self.state.ema_params,
             "step": 0,
         }
+        if "best_metric" in plain:
+            template["best_metric"] = 0.0
         if has_opt:
             # second restore against the live-state template so orbax
             # reconstructs the exact optax namedtuple structure (a plain
@@ -365,5 +381,7 @@ class Trainer:
                 ema_params=jax.device_put(state.ema_params, rsh),
                 step=jax.device_put(state.step, rsh))
         self.state = state
-        logger.info("Resumed from %s at step %d", path, int(plain["step"]))
+        self.best_metric = best_metric
+        logger.info("Resumed from %s at step %d (best_metric=%.4f)",
+                    path, int(plain["step"]), best_metric)
         return int(plain["step"])

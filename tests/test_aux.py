@@ -756,3 +756,24 @@ def test_sfinder_serial_png_single_decode(tmp_path, monkeypatch,
     sf = SFinder(m, p, cfg, engine_kwargs={"compute_dtype": jnp.float32})
     assert sf.run() == 0
     assert len(calls) == 1
+
+def test_dataset_yaml_quoted_commas_and_multiline_flow(tmp_path):
+    """Flow-list names containing commas stay one item, multi-line flow
+    lists parse instead of silently dropping entries, and an
+    unterminated quote raises instead of mis-aligning class ids
+    (ADVICE r3, dataset.py)."""
+    import pytest
+    (tmp_path / "q.yaml").write_text(
+        "train: images\nnames: ['radio, extended', compact, \"a, b\"]\n")
+    spec = parse_dataset_yaml(str(tmp_path / "q.yaml"))
+    assert spec["names"] == ["radio, extended", "compact", "a, b"]
+    (tmp_path / "ml.yaml").write_text(
+        "train: images\nnames: [spurious,\n  compact,\n"
+        "  'extended, multi-island']\nval: images\n")
+    spec = parse_dataset_yaml(str(tmp_path / "ml.yaml"))
+    assert spec["names"] == ["spurious", "compact",
+                             "extended, multi-island"]
+    assert spec["val"] == "images"
+    (tmp_path / "bad.yaml").write_text("names: ['oops, no close]\n")
+    with pytest.raises(ValueError):
+        parse_dataset_yaml(str(tmp_path / "bad.yaml"))

@@ -317,3 +317,63 @@ def test_resume_pre_optstate_checkpoint_warns_and_loads(tmp_path,
     assert fresh.restore(str(tmp_path / "old")) == 5
     assert int(fresh.state.step) == 5
     assert _tree_equal(fresh.state.params, trainer.state.params)
+
+def test_resume_prefers_newest_step_over_stale_last(tmp_path, tiny_setup):
+    """A completed old run's 'last' must not shadow a newer interrupted
+    run's step_N checkpoint: candidates are ranked by the optimizer step
+    recorded in the .step sidecar (ADVICE r3: stale-'last' resume)."""
+    from caesar_yolo_tpu.cli.train import resolve_resume_checkpoint
+    model, params, images, gl, gb, mg = tiny_setup
+    cfg = TrainConfig(epochs=1, batch_size=2, img_size=64)
+    trainer = Trainer(model, params, cfg, steps_per_epoch=1)
+    trainer.train_step(images, gl, gb, mg)
+    trainer.save_checkpoint(str(tmp_path), name="last")     # opt step 1
+    trainer.train_step(images, gl, gb, mg)
+    trainer.train_step(images, gl, gb, mg)
+    trainer.save_checkpoint(str(tmp_path), step=5)          # opt step 3
+    assert resolve_resume_checkpoint(str(tmp_path)).endswith("step_5")
+    # equal steps tie-break to 'last' (the completed-run convention)
+    trainer.save_checkpoint(str(tmp_path), name="last")     # opt step 3
+    assert resolve_resume_checkpoint(str(tmp_path)).endswith("last")
+
+
+def test_best_metric_roundtrips_through_checkpoint(tmp_path, tiny_setup):
+    """--resume restores the pre-interruption best validation metric so
+    the first post-resume validation cannot overwrite a better 'best'
+    snapshot (ADVICE r3 medium; ultralytics restores best_fitness)."""
+    model, params, images, gl, gb, mg = tiny_setup
+    cfg = TrainConfig(epochs=1, batch_size=2, img_size=64)
+    trainer = Trainer(model, params, cfg, steps_per_epoch=1)
+    trainer.train_step(images, gl, gb, mg)
+    trainer.best_metric = 0.875
+    trainer.save_checkpoint(str(tmp_path), name="last")
+    fresh = Trainer(model, params, cfg, steps_per_epoch=1)
+    assert fresh.best_metric == -1.0
+    fresh.restore(str(tmp_path / "last"))
+    assert fresh.best_metric == 0.875
+
+
+def test_dataset_set_epoch_resumable_order(tmp_path):
+    """Sample order is a pure function of (seed, epoch): a resumed run
+    at epoch N sees the order the uninterrupted run saw, and different
+    epochs see different orders (ADVICE r3: resume replayed epoch 0)."""
+    from tests.test_aux import _make_dataset
+    from caesar_yolo_tpu.train.dataset import DetectionDataset
+    _make_dataset(tmp_path / "data")
+    ds_a = DetectionDataset(str(tmp_path / "data/images"), img_size=64,
+                            batch_size=2, max_gt=4, seed=0)
+    ds_b = DetectionDataset(str(tmp_path / "data/images"), img_size=64,
+                            batch_size=2, max_gt=4, seed=0)
+    # ds_a burns epochs 0..4 first (the uninterrupted run); ds_b jumps
+    # straight to epoch 5 (the resumed run)
+    for e in range(5):
+        ds_a.set_epoch(e)
+        list(ds_a)
+    ds_a.set_epoch(5)
+    ds_b.set_epoch(5)
+    a5 = [i for i, *_ in ds_a]
+    b5 = [i for i, *_ in ds_b]
+    assert all(np.array_equal(x, y) for x, y in zip(a5, b5))
+    ds_b.set_epoch(6)
+    b6 = [i for i, *_ in ds_b]
+    assert not all(np.array_equal(x, y) for x, y in zip(a5, b6))
