@@ -73,6 +73,16 @@ def parse_args(argv=None):
                         "tile windows on-device (auto: when the mosaic "
                         "fits the HBM cap; overlapping grids ship up to "
                         "4x fewer host->device bytes)")
+    parser.add_argument("--preproc_context", choices=["tile", "global"],
+                        default="tile",
+                        help="Statistics context for tiled-run "
+                        "preprocessing: 'tile' computes stretch/"
+                        "normalize statistics per tile (reference "
+                        "parity, evaluation.py:157-161 per window); "
+                        "'global' preprocesses the whole device-"
+                        "resident mosaic once so every tile sees the "
+                        "serial whole-image pixel values (needs "
+                        "device tiling)")
     parser.add_argument("--relay_bf16", action="store_true",
                         help="Ship tiles to the device as bfloat16 "
                         "(half the host->device bytes; ~0.4%% pixel "
@@ -387,6 +397,7 @@ def main(argv=None) -> int:
         iou_thr=args.iouThr, pre_nms=args.pre_nms,
         relay_dtype="bfloat16" if args.relay_bf16 else "float32",
         device_tiling=args.device_tiling,
+        preproc_context=args.preproc_context,
         resume=args.resume, spool_path=args.spool_path,
         profile_dir=args.profile_dir,
         merge_overlap_iou_thr_soft=args.merge_overlap_iou_thr_soft,

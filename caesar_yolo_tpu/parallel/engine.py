@@ -201,10 +201,45 @@ class TileEngine:
             return jax.device_put(mosaic, replicated_sharding(self.mesh))
         return jax.device_put(mosaic)
 
-    def _build_mosaic(self, tile_shape):
+    def preprocess_mosaic(self, mosaic_dev):
+        """Run the preprocessing pipeline ONCE over the whole
+        device-resident mosaic (global statistics context) and return
+        the preprocessed f32 mosaic plus its validity flag.
+
+        TPU-native capability the reference cannot afford: its per-tile
+        numpy preprocessing means tile statistics (zscale/minmax/bkg)
+        come from each tile's own pixels (reference evaluation.py:157-161
+        applied per window) — a bright source in one tile shifts that
+        tile's stretch.  With the mosaic already in HBM, whole-mosaic
+        statistics cost one extra fused pass; tiles sliced from the
+        result see exactly the pixel values a serial whole-image run
+        sees."""
+        if self.preprocessor is None:
+            return mosaic_dev, True
+        key = ("preproc_mosaic", tuple(mosaic_dev.shape),
+               str(mosaic_dev.dtype))
+        if key not in self._compiled:
+            pipe = self.preprocessor
+
+            def prep(mosaic):
+                out, ok = pipe.apply_batch(
+                    mosaic.astype(jnp.float32)[None, :, :, None])
+                return out[0, :, :, 0], ok[0]
+
+            if self.mesh is not None:
+                rsh = replicated_sharding(self.mesh)
+                self._compiled[key] = jax.jit(
+                    prep, in_shardings=rsh, out_shardings=(rsh, rsh))
+            else:
+                self._compiled[key] = jax.jit(prep)
+        out, ok = self._compiled[key](mosaic_dev)
+        return out, bool(np.asarray(ok))
+
+    def _build_mosaic(self, tile_shape, preprocessed=False):
         h, w = tile_shape
         step = make_tile_step(
-            self.model, preprocessor=self.preprocessor,
+            self.model,
+            preprocessor=None if preprocessed else self.preprocessor,
             img_size=self.img_size, score_thr=self.score_thr,
             iou_thr=self.iou_thr, max_det=self.max_det,
             pre_nms=self.pre_nms, compute_dtype=self.compute_dtype)
@@ -231,15 +266,20 @@ class TileEngine:
         return jax.jit(mstep)
 
     def process_mosaic_async(self, mosaic_dev, origins: np.ndarray,
-                             tile_shape: tuple[int, int]):
+                             tile_shape: tuple[int, int],
+                             preprocessed: bool = False):
         """Detect a batch of tiles sliced from the device-resident mosaic.
 
         origins[B, 2] int32 (ymin, xmin) in mosaic-array coordinates; all
-        B windows share tile_shape=(h, w).  Same outputs as process()."""
+        B windows share tile_shape=(h, w).  Same outputs as process().
+        preprocessed=True means the mosaic already went through
+        preprocess_mosaic (global statistics context), so the per-tile
+        pipeline is skipped — only the degenerate-channel guard runs."""
         origins = jnp.asarray(np.asarray(origins, np.int32))
         # one jitted program per tile shape; jit itself retraces per
         # mosaic/band shape and batch size
-        key = ("mosaic", tile_shape, str(mosaic_dev.dtype))
+        key = ("mosaic", tile_shape, str(mosaic_dev.dtype), preprocessed)
         if key not in self._compiled:
-            self._compiled[key] = self._build_mosaic(tile_shape)
+            self._compiled[key] = self._build_mosaic(tile_shape,
+                                                     preprocessed)
         return self._compiled[key](self.params, mosaic_dev, origins)

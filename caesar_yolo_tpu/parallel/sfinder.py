@@ -123,6 +123,20 @@ class SFinderConfig:
     # cap below; falls back to the streaming windowed-read path.
     device_tiling: str = "auto"
     device_tiling_max_bytes: int = 2 * 1024 * 1024 * 1024
+    # Preprocessing statistics context for tiled runs:
+    #   "tile"   — each tile's stretch/normalize statistics come from its
+    #              own pixels (REFERENCE PARITY: the reference applies
+    #              its numpy pipeline per window, evaluation.py:157-161,
+    #              so a bright source shifts only its own tile's zscale)
+    #   "global" — statistics from the WHOLE (device-resident) mosaic;
+    #              tiles are sliced from the once-preprocessed mosaic, so
+    #              every tile sees the pixel values a serial whole-image
+    #              run sees.  TPU-native: costs one fused pass over the
+    #              HBM-resident mosaic (the reference could never afford
+    #              this).  Requires the device-tiling "full" path; the
+    #              banded / streaming windowed-read paths fall back to
+    #              "tile" with a warning.
+    preproc_context: str = "tile"
 
 
 @dataclass
@@ -133,6 +147,8 @@ class SFinderReport:
     n_local_tiles: int = 0  # tiles this process owned (multi-host stripe)
     n_sources: int = 0
     max_inflight_batches: int = 0  # peak read-futures + undrained batches
+    gather_rounds: int = 0  # chunked-allgather rounds (multi-host runs)
+    gather_bytes: int = 0   # this rank's gathered payload size
     phase_times: dict = field(default_factory=dict)
     tile_errors: list = field(default_factory=list)
 
@@ -617,6 +633,13 @@ class SFinder:
             mosaic_np = self._load_device_mosaic(engine)
             if mosaic_np is None:
                 mode = None  # unreadable -> stream windowed reads
+        global_ctx = cfg.preproc_context == "global"
+        if global_ctx and mode != "full":
+            logger.warning(
+                "preproc_context='global' needs the device-resident "
+                "mosaic path (device_tiling mode=%s here); falling back "
+                "to per-tile statistics context", mode)
+            global_ctx = False
         if mode == "full":
             # Device-resident tiling: the mosaic crosses the link ONCE;
             # windows are extracted in-graph (TileEngine.put_mosaic /
@@ -624,6 +647,16 @@ class SFinder:
             # pixel twice and the disk IO is one sequential read.
             from collections import deque
             mosaic_dev = engine.put_mosaic(mosaic_np)
+            if global_ctx:
+                # global statistics context: preprocess the WHOLE mosaic
+                # once on device; tiles sliced below skip the per-tile
+                # pipeline (TileEngine.preprocess_mosaic)
+                mosaic_dev, g_ok = engine.preprocess_mosaic(mosaic_dev)
+                if not g_ok:
+                    logger.warning(
+                        "Whole-mosaic preprocessing flagged the image "
+                        "invalid (degenerate statistics); per-tile "
+                        "guards will reject affected tiles")
             if not cfg.save_tile_img:
                 del mosaic_np  # host copy not needed past this point
             device_groups, groups = groups, {}
@@ -642,7 +675,8 @@ class SFinder:
                                 t.xmin - self.xmin:t.xmax - self.xmin]
                     pending.append((list(tile_batch),
                                     engine.process_mosaic_async(
-                                        mosaic_dev, origins, (h, w))))
+                                        mosaic_dev, origins, (h, w),
+                                        preprocessed=global_ctx)))
                     self.report.max_inflight_batches = max(
                         self.report.max_inflight_batches, len(pending))
                     if len(pending) > 2:
@@ -780,6 +814,12 @@ class SFinder:
                     drain(pending.popleft())
         spool.close()
         results.extend(done.values())
+        # canonical tileId order: the stitched catalog (S1..SN naming,
+        # component traversal) must be a pure function of the tile-result
+        # SET — a crash-resumed run appends spooled results after fresh
+        # ones, and without this sort its catalog ordering diverged from
+        # the uninterrupted run's (scripts/drill_banded_resume.py)
+        results.sort(key=lambda tr: tr["tileId"])
         if nproc > 1:
             results = self._gather_multihost(results)
         # attach neighbor ids
@@ -817,6 +857,8 @@ class SFinder:
             return []
         size = min(cap, maxlen)
         nrounds = -(-maxlen // size)
+        self.report.gather_rounds = nrounds
+        self.report.gather_bytes = len(blob)
         rows = [np.zeros((int(lens[p]),), np.uint8) for p in range(nproc)]
         for r in range(nrounds):
             chunk = np.zeros((size,), np.uint8)

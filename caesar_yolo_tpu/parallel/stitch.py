@@ -109,8 +109,15 @@ def stitch_tile_sources(tile_results: list[dict]) -> dict:
             continue
         members = [tile_results[t]["objs"][s]
                    for t, s in (edge_refs[k] for k in comp)]
-        areas = [(m["x2"] - m["x1"]) * (m["y2"] - m["y1"]) for m in members]
-        largest = members[int(np.argmax(areas))]
+        # largest-area inheritance (reference inference.py:830-860) with
+        # a DETERMINISTIC total-order tie-break: equal-area members must
+        # resolve identically whatever order tiles were processed in —
+        # a crash-resumed run reorders tile_results, and np.argmax's
+        # first-wins tie-break would inherit a different score
+        # (caught by scripts/drill_banded_resume.py)
+        largest = max(members, key=lambda m: (
+            (m["x2"] - m["x1"]) * (m["y2"] - m["y1"]),
+            m["score"], m["class_id"], m["x1"], m["y1"]))
         x1, y1, x2, y2 = get_merged_bbox(
             [(m["x1"], m["y1"], m["x2"], m["y2"]) for m in members])
         sources.append({

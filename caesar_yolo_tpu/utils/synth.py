@@ -24,17 +24,19 @@ def make_mosaic(nx: int = 1024, ny: int = 1024, n_sources: int = 40,
     rng = np.random.default_rng(seed)
     img = rng.normal(0.0, noise_sigma, (ny, nx)).astype(np.float32)
     boxes = []
-    yy, xx = np.mgrid[0:ny, 0:nx]
     for _ in range(n_sources):
         cx = rng.uniform(10, nx - 10)
         cy = rng.uniform(10, ny - 10)
         sx = rng.uniform(*sigma_range)
         sy = rng.uniform(*sigma_range)
         amp = rng.uniform(*amp_range)
-        # add within a local window only (cheap)
+        # add within a local window only (cheap) — windowed aranges, not
+        # a full-image mgrid (which would cost 2 x 8 bytes/pixel: 4 GB
+        # of index arrays for a 16k x 16k production-scale mosaic)
         x0, x1 = int(max(0, cx - 4 * sx)), int(min(nx, cx + 4 * sx + 1))
         y0, y1 = int(max(0, cy - 4 * sy)), int(min(ny, cy + 4 * sy + 1))
-        wy, wx = yy[y0:y1, x0:x1], xx[y0:y1, x0:x1]
+        wy = np.arange(y0, y1)[:, None]
+        wx = np.arange(x0, x1)[None, :]
         img[y0:y1, x0:x1] += amp * np.exp(
             -((wx - cx) ** 2 / (2 * sx ** 2)
               + (wy - cy) ** 2 / (2 * sy ** 2))).astype(np.float32)

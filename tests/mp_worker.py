@@ -57,6 +57,7 @@ def main():
     out = {"rc": rc, "pid": pid,
            "n_local_tiles": sf.report.n_local_tiles,
            "n_tiles": sf.report.n_tiles,
+           "gather_rounds": sf.report.gather_rounds,
            "sources": sf.sources["sources"]}
     with open(f"rank{pid}.json", "w") as f:
         json.dump(out, f, sort_keys=True)

@@ -156,3 +156,60 @@ def test_two_process_tiled_run(tmp_path):
     finally:
         os.chdir(cwd)
     assert sf.sources["sources"] == r0["sources"]
+
+def _make_strip_mosaic(path):
+    """96x288 mosaic -> exactly 3 non-overlapping 96px tiles, one source
+    per tile center (so every tile contributes to the catalog)."""
+    rng = np.random.default_rng(1)
+    img = rng.normal(0.0, 0.08, (96, 288)).astype(np.float32)
+    yy, xx = np.mgrid[0:96, 0:288]
+    for cx in (48, 144, 240):
+        s = 4.5
+        img += 6.0 * np.exp(-((xx - cx) ** 2 + (yy - 48) ** 2)
+                            / (2 * s * s)).astype(np.float32)
+    from caesar_yolo_tpu.utils.fits import write_fits
+    write_fits(img, path)
+
+
+def test_four_process_uneven_striping(tmp_path):
+    """nproc=4 over a 3-tile mosaic: tid%4 striping leaves rank 3 with
+    ZERO tiles — it must still participate in every gather round and
+    end with the identical catalog (the reference's worker-group guard,
+    reference inference.py:1086-1160, sidesteps this by shrinking the
+    worker group; here the collective schedule must stay symmetric).
+    A 64-byte gather cap forces >=3 chunked-allgather rounds (crowded-
+    catalog path, VERDICT r3 #6)."""
+    mosaic = str(tmp_path / "strip.fits")
+    _make_strip_mosaic(mosaic)
+
+    env = dict(os.environ,
+               PYTHONPATH=REPO,
+               XLA_FLAGS="--xla_force_host_platform_device_count=1",
+               CY_GATHER_CHUNK="64")
+    procs = [subprocess.Popen(
+        [sys.executable, WORKER, str(pid), "4", "29519",
+         str(tmp_path), mosaic, FIXTURE],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        for pid in range(4)]
+    outs = [p.communicate(timeout=540)[0].decode() for p in procs]
+    for p, log in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{log[-3000:]}"
+
+    ranks = [json.loads((tmp_path / f"rank{pid}.json").read_text())
+             for pid in range(4)]
+    assert all(r["rc"] == 0 for r in ranks)
+    assert all(r["n_tiles"] == 3 for r in ranks)
+    # uneven stripe: ranks 0..2 own one tile each, rank 3 owns none
+    assert [r["n_local_tiles"] for r in ranks] == [1, 1, 1, 0]
+    # the 64-byte cap forces a genuinely multi-round gather everywhere
+    assert all(r["gather_rounds"] >= 3 for r in ranks)
+    # identical catalogs on every rank, zero-tile rank included
+    for r in ranks[1:]:
+        assert r["sources"] == ranks[0]["sources"]
+    assert len(ranks[0]["sources"]) == 3
+    # master-only save: one catalog, no rank-suffixed duplicates
+    cat = json.loads((tmp_path / "catalog_strip.json").read_text())
+    assert cat["sources"] == ranks[0]["sources"]
+    dupes = [f for f in os.listdir(tmp_path)
+             if f.startswith("catalog_strip") and f != "catalog_strip.json"]
+    assert dupes == []

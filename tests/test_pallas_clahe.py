@@ -94,3 +94,76 @@ def test_clahe_batch_lowering_has_no_sort_or_scatter():
     _walk_eqns(jaxpr.jaxpr, seen)
     bad = {p for p in seen if any(f in p for f in FORBIDDEN)}
     assert not bad, f"forbidden primitives in CLAHE batch path: {bad}"
+
+# -- Zuiderveld property tests -------------------------------------------
+# skimage remains uninstallable here (pip re-attempted 2026-08-19, pypi
+# unreachable), so beyond the independent-twin parity above, parity with
+# `equalize_adapthist` rests on the PUBLISHED invariants of Zuiderveld's
+# algorithm (Graphics Gems IV, 1994) — pinned here so drift cannot hide
+# in a single twin (VERDICT r3 next-round #8).
+
+
+def test_clahe_affine_intensity_invariance(rng):
+    """CLAHE normalizes by the image min/max before binning, so any
+    positive affine intensity transform must leave the output EXACTLY
+    unchanged (skimage rescales to [0,1] the same way)."""
+    x = radio_batch(rng, 1, 96, 96)[0]
+    a = np.asarray(equalize_adapthist(jnp.asarray(x)))
+    b = np.asarray(equalize_adapthist(jnp.asarray(3.5 * x + 11.0)))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_clahe_clip_limit_monotonicity(rng):
+    """Clip-limit monotonicity: the smaller the clip limit, the more of
+    each tile histogram is redistributed uniformly, so the mapping
+    approaches the identity on the normalized input; as clip_limit -> 1
+    it approaches unclipped AHE (maximum equalization).  The mean
+    distance from the normalized input must be non-decreasing in
+    clip_limit, and both endpoints must separate."""
+    x = radio_batch(rng, 1, 96, 96)[0]
+    norm = (x - x.min()) / (x.max() - x.min())
+    dists = []
+    for cl in (0.002, 0.01, 0.03, 0.1, 0.5, 1.0):
+        o = np.asarray(equalize_adapthist(jnp.asarray(x), clip_limit=cl))
+        dists.append(float(np.abs(o - norm).mean()))
+    for lo, hi in zip(dists, dists[1:]):
+        assert lo <= hi + 1e-6, f"not monotone: {dists}"
+    assert dists[-1] > 4 * dists[0]
+
+
+def test_clahe_uniform_image_fixpoint():
+    """A uniform image has nothing to equalize: the output must be
+    uniform too (and finite) — the degenerate-span guard, the clipped
+    histogram, and the CDF blend must all collapse consistently."""
+    out = np.asarray(equalize_adapthist(jnp.full((64, 64), 7.0,
+                                                 jnp.float32)))
+    assert np.isfinite(out).all()
+    assert out.max() - out.min() == 0.0
+
+
+def test_clahe_tile_boundary_continuity():
+    """The hat-weight (bilinear) blend of neighboring tile CDFs is the
+    defining trick of Zuiderveld's CLAHE: mappings change CONTINUOUSLY
+    across tile boundaries.  On a smooth ramp input, the output step
+    across every tile boundary must be no larger than the largest step
+    within tiles (a per-tile LUT without blending fails this with a
+    visible seam)."""
+    yy, xx = np.mgrid[0:96, 0:96]
+    ramp = (xx + yy).astype(np.float32)
+    o = np.asarray(equalize_adapthist(jnp.asarray(ramp)))
+    dif = np.abs(np.diff(o, axis=1))
+    tile_w = 96 // 8
+    bcols = [tile_w * k - 1 for k in range(1, 8)]
+    icols = [c for c in range(95) if c not in bcols]
+    assert dif[:, bcols].max() <= dif[:, icols].max()
+    assert (o >= 0).all() and (o <= 1).all()
+
+
+def test_clahe_pallas_batch_obeys_same_invariants(rng):
+    """The Pallas batch lowering satisfies the same published
+    invariants directly (not only via parity with the XLA twin)."""
+    x = radio_batch(rng, 1, 96, 96)
+    a = np.asarray(equalize_adapthist_batch(jnp.asarray(x)))
+    b = np.asarray(equalize_adapthist_batch(jnp.asarray(2.0 * x + 3.0)))
+    np.testing.assert_array_equal(a, b)
+    assert (a >= 0).all() and (a <= 1).all()

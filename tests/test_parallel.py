@@ -245,3 +245,36 @@ def test_streaming_io_bounded(tmp_path, tiny_model, monkeypatch):
     assert sf.run_tiled() == 0
     assert sf.report.n_tiles == 256  # 16 batches through the pipeline
     assert 2 <= sf.report.max_inflight_batches <= 5
+
+def test_stitch_is_order_invariant():
+    """The stitched catalog must be a pure function of the tile-result
+    SET: a crash-resumed run feeds results in a different order
+    (spooled tiles after fresh ones), and both the S-naming and the
+    largest-area score inheritance (equal-area tie) used to depend on
+    it (caught on the banded crash-resume drill,
+    scripts/drill_banded_resume.py)."""
+    import random
+    # two EQUAL-AREA members of one cross-tile component with different
+    # scores: the tie must resolve identically in any input order
+    t0 = {"objs": [obj("a", 240, 100, 256, 130, edge=True, score=0.9)],
+          "tileId": 0, "neighborTileIds": [1], "workerId": 0}
+    t1 = {"objs": [obj("b", 250, 100, 266, 130, edge=True, score=0.4)],
+          "tileId": 1, "neighborTileIds": [0], "workerId": 0}
+    # plus interior sources in several tiles to exercise naming order
+    t2 = {"objs": [obj("c", 10, 10, 30, 30), obj("d", 60, 60, 90, 90)],
+          "tileId": 2, "neighborTileIds": [], "workerId": 0}
+    t3 = {"objs": [obj("e", 400, 400, 420, 430)],
+          "tileId": 3, "neighborTileIds": [], "workerId": 0}
+    base = [t0, t1, t2, t3]
+    ref = stitch_tile_sources(sorted(base, key=lambda t: t["tileId"]))
+    assert any(s["merged"] for s in ref["sources"])
+    merged = [s for s in ref["sources"] if s["merged"]][0]
+    assert merged["score"] == 0.9  # deterministic tie-break: max score
+    rng = random.Random(0)
+    for _ in range(6):
+        perm = base[:]
+        rng.shuffle(perm)
+        # callers sort by tileId before stitching (sfinder.run_tiled);
+        # the stitcher itself must then be order-invariant
+        out = stitch_tile_sources(sorted(perm, key=lambda t: t["tileId"]))
+        assert out == ref
