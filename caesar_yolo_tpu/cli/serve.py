@@ -42,6 +42,7 @@ def parse_args(argv=None):
 
 
 def make_handler(det, in_shape):
+    import jax  # deferred like the rest of the CLI (fast --help startup)
     batch, h, w, c = in_shape
     n_bytes = int(np.prod(in_shape)) * 4
 
@@ -86,8 +87,8 @@ def make_handler(det, in_shape):
             except Exception as e:
                 self._reply(400, {"error": str(e)})
                 return
-            boxes, scores, cls, valid, tile_ok, ndrop = (
-                np.asarray(o) for o in det(tiles.astype(np.float32)))
+            boxes, scores, cls, valid, tile_ok, ndrop = jax.device_get(
+                det(tiles.astype(np.float32)))
             dets = []
             for i in range(batch):
                 v = valid[i]

@@ -117,7 +117,9 @@ class BatchedDetector:
 
     def _drain(self, item, results):
         keys, outs = item
-        boxes, scores, cls, valid, ok, ndrop = (np.asarray(o) for o in outs)
+        # one batched device_get: the relay is latency-bound per pull
+        import jax
+        boxes, scores, cls, valid, ok, ndrop = jax.device_get(outs)
         for i, key in enumerate(keys):
             if ndrop[i]:
                 logger.warning(

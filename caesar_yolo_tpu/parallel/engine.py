@@ -181,7 +181,9 @@ class TileEngine:
         return self._compiled[key](self.params, tiles)
 
     def process(self, tiles):
-        return tuple(np.asarray(o) for o in self.process_async(tiles))
+        # one batched device_get: the relay is latency-bound per pull,
+        # so six sequential np.asarray calls cost ~4.4x one get
+        return tuple(jax.device_get(self.process_async(tiles)))
 
     # -- device-resident mosaic tiling ---------------------------------------
 

@@ -601,8 +601,12 @@ class SFinder:
 
         def drain(item):
             kept_tiles, outs = item
-            boxes, scores, cls, valid, tile_ok, ndrop = (
-                np.asarray(o) for o in outs)
+            # ONE device_get for all six outputs: the host<->device relay
+            # is latency-bound per pull (~22 ms base on the axon backend),
+            # so six sequential np.asarray calls cost ~4.4x one batched
+            # get (measured 188.8 vs 42.5 ms per batch-128)
+            boxes, scores, cls, valid, tile_ok, ndrop = \
+                _jax.device_get(outs)
             for k, t in enumerate(kept_tiles):
                 # pop unconditionally: stored views pin the whole batch
                 # buffer, and tile_ok=False entries would otherwise leak

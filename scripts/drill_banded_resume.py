@@ -50,6 +50,9 @@ def synthesize(path: str, size: int, seed: int = 7) -> None:
 
 def worker(args) -> int:
     """One tiled run (the subprocess target)."""
+    import faulthandler
+    faulthandler.dump_traceback_later(240, repeat=True, file=open(
+        os.path.join(args.workdir, "worker.stack"), "w"))
     if args.cpu:  # smoke-test mode (the sitecustomize hook overrides
         import jax  # JAX_PLATFORMS, so force it before backend init)
         jax.config.update("jax_platforms", "cpu")
@@ -141,22 +144,53 @@ def main() -> int:
     print(f"[drill] run A done in {wall_a:.1f}s", flush=True)
 
     # --- run B: SIGKILL mid-run -----------------------------------------
+    # Kill on SPOOL PROGRESS, not wall time: run B hits warm compile
+    # caches and a warm page cache, so a 0.4*wall_A timer can land after
+    # B already finished every tile (observed on-chip) — the resume then
+    # proves spool replay but not mid-run recovery.  Poll B's spool and
+    # kill at ~half the tiles; also record B's steady tile rate (B is
+    # the warm run, so its rate is the one free of first-compile stall).
+    n_total = json.load(open(os.path.join(args.workdir,
+                                          "catA.json.report")))["n_tiles"]
     pb = launch(args.workdir, mosaic, "catB.json",
                 os.path.join(args.workdir, "spoolB.jsonl"), args.cap,
                 cpu=args.cpu)
-    time.sleep(max(10.0, 0.4 * wall_a))
+    spool_b = os.path.join(args.workdir, "spoolB.jsonl")
+
+    def spool_lines():
+        total = 0
+        for f in os.listdir(args.workdir):
+            if f.startswith("spoolB"):
+                with open(os.path.join(args.workdir, f)) as fh:
+                    total += sum(1 for line in fh if line.strip()) - 1
+        return max(0, total)
+
+    samples = []  # (t, done)
+    t_b0 = time.perf_counter()
+    while pb.poll() is None:
+        time.sleep(2.0)
+        done_now = spool_lines()
+        samples.append((time.perf_counter() - t_b0, done_now))
+        if done_now >= 0.5 * n_total:
+            break
     pb.send_signal(signal.SIGKILL)
     pb.communicate()
-    spool_b = os.path.join(args.workdir, "spoolB.jsonl")
-    # the per-rank suffix applies to explicit paths too (STATUS fix 53)
-    spool_files = [f for f in os.listdir(args.workdir)
-                   if f.startswith("spoolB")]
-    done_before = 0
-    for f in spool_files:
-        with open(os.path.join(args.workdir, f)) as fh:
-            done_before = sum(1 for line in fh if line.strip()) - 1
-    print(f"[drill] run B killed; spool holds ~{done_before} tile "
-          f"results", flush=True)
+    done_before = spool_lines()
+    # steady rate from the last half of B's samples (past compile/setup)
+    active = [(t, d) for t, d in samples if d > 0]
+    rate_b = None
+    if len(active) >= 2:
+        (t0s, d0s), (t1s, d1s) = active[len(active) // 2], active[-1]
+        if t1s > t0s and d1s > d0s:
+            rate_b = (d1s - d0s) / (t1s - t0s)
+    print(f"[drill] run B killed mid-run; spool holds {done_before} of "
+          f"{n_total} tile results"
+          + (f"; warm steady rate {rate_b:.0f} tiles/s" if rate_b else ""),
+          flush=True)
+    if done_before >= n_total:
+        print("[drill] kill landed after B completed — mid-run recovery "
+              "NOT exercised; rerun with a bigger mosaic", flush=True)
+        return 1
     if done_before <= 0:
         print("[drill] kill happened before any tile completed — "
               "rerun with a bigger mosaic", flush=True)
@@ -191,7 +225,9 @@ def main() -> int:
         "runtime_A_s": round(rep_a["runtime_s"], 1),
         "mpix_per_s_A": round(size * size / 1e6 / rep_a["runtime_s"], 1),
         "tiles_per_s_A": round(n_tiles / rep_a["runtime_s"], 1),
+        "tiles_per_s_warm": round(rate_b, 1) if rate_b else None,
         "resume_spooled_tiles": done_before,
+        "resume_recomputed_tiles": n_tiles - done_before,
         "runtime_C_s": round(rep_c["runtime_s"], 1),
         "n_sources": rep_a["n_sources"],
         "catalog_identical_after_resume": identical,
