@@ -64,8 +64,11 @@ class BatchedDetector:
                                self.engine.relay_np_dtype)
                 for i, (_, img) in enumerate(pairs):
                     arr[i] = img
-                pending.append(([k for k, _ in pairs],
-                                self.engine.process_async(arr)))
+                from caesar_yolo_tpu.parallel.engine import \
+                    prefetch_to_host
+                outs = self.engine.process_async(arr)
+                prefetch_to_host(outs)  # overlap D2H with next compute
+                pending.append(([k for k, _ in pairs], outs))
                 # drain one behind dispatch: bounds device-result memory
                 # while still overlapping host load with device compute
                 if len(pending) > 1:

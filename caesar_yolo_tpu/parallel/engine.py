@@ -185,6 +185,7 @@ class TileEngine:
         # so six sequential np.asarray calls cost ~4.4x one get
         return tuple(jax.device_get(self.process_async(tiles)))
 
+
     # -- device-resident mosaic tiling ---------------------------------------
 
     def put_mosaic(self, mosaic: np.ndarray):
@@ -285,3 +286,18 @@ class TileEngine:
             self._compiled[key] = self._build_mosaic(tile_shape,
                                                      preprocessed)
         return self._compiled[key](self.params, mosaic_dev, origins)
+
+
+def prefetch_to_host(outs) -> None:
+    """Start asynchronous D2H copies for a dispatched batch's outputs.
+
+    Call right after enqueueing an async batch into a pending pipeline:
+    the transfer is scheduled to start as soon as the device finishes the
+    batch, so it overlaps the NEXT batch's compute and host work instead
+    of being paid inside the later blocking device_get (the relay's
+    ~22 ms-latency pulls then mostly find the data already on host)."""
+    for o in jax.tree_util.tree_leaves(outs):
+        try:
+            o.copy_to_host_async()
+        except (AttributeError, RuntimeError):  # sharded across procs /
+            return                              # backend without support

@@ -45,7 +45,7 @@ from caesar_yolo_tpu.outputs.catalog import (
     write_json,
 )
 from caesar_yolo_tpu.outputs.ds9 import write_ds9_regions
-from caesar_yolo_tpu.parallel.engine import TileEngine
+from caesar_yolo_tpu.parallel.engine import TileEngine, prefetch_to_host
 from caesar_yolo_tpu.parallel.mesh import pad_to_multiple
 from caesar_yolo_tpu.parallel.stitch import flag_edge_sources, stitch_tile_sources
 from caesar_yolo_tpu.utils import fits_native
@@ -677,10 +677,11 @@ class SFinder:
                             arrs_by_tid[t.tid] = mosaic_np[
                                 t.ymin - self.ymin:t.ymax - self.ymin,
                                 t.xmin - self.xmin:t.xmax - self.xmin]
-                    pending.append((list(tile_batch),
-                                    engine.process_mosaic_async(
-                                        mosaic_dev, origins, (h, w),
-                                        preprocessed=global_ctx)))
+                    outs = engine.process_mosaic_async(
+                        mosaic_dev, origins, (h, w),
+                        preprocessed=global_ctx)
+                    prefetch_to_host(outs)
+                    pending.append((list(tile_batch), outs))
                     self.report.max_inflight_batches = max(
                         self.report.max_inflight_batches, len(pending))
                     if len(pending) > 2:
@@ -750,9 +751,10 @@ class SFinder:
                                     arrs_by_tid[t.tid] = band_np[
                                         :, t.xmin - self.xmin:
                                         t.xmax - self.xmin]
-                            pending.append(
-                                (list(tb), engine.process_mosaic_async(
-                                    band_dev, origins, (h, w))))
+                            outs = engine.process_mosaic_async(
+                                band_dev, origins, (h, w))
+                            prefetch_to_host(outs)
+                            pending.append((list(tb), outs))
                             self.report.max_inflight_batches = max(
                                 self.report.max_inflight_batches,
                                 len(futs) + len(pending))
@@ -806,9 +808,10 @@ class SFinder:
                         for k, i in enumerate(ok_idx):
                             arrs_by_tid[tile_batch[i].tid] = \
                                 datas[i][:, :, 0]
+                    outs = engine.process_async(arr)
+                    prefetch_to_host(outs)
                     pending.append(
-                        ([tile_batch[i] for i in ok_idx],
-                         engine.process_async(arr)))
+                        ([tile_batch[i] for i in ok_idx], outs))
                     self.report.max_inflight_batches = max(
                         self.report.max_inflight_batches,
                         len(futures) + len(pending))
