@@ -64,10 +64,15 @@ def _walk(jaxpr, out):
             kh, kw = rhs[0], rhs[1]
             n_spatial = int(np.prod(o[:-1]))
             flops = 2.0 * n_spatial * cout * (cin // fg) * kh * kw
-            # depthwise/grouped convs cannot fill output lanes beyond
-            # their per-group width
-            eff = cout / fg if fg > 1 else cout
-            out.append(("conv", flops, min(1.0, eff / LANES),
+            # depthwise/grouped convs are bandwidth-bound on TPU (XLA's
+            # grouped lowering measured at 98-173 GB/s, STATUS note 11),
+            # not MXU-lane-bound: weighting their tiny FLOP count by
+            # cout/groups/128 lanes inflates the floor past measured
+            # time (the v11 head's dwconv floor came out 14 ms vs
+            # 8.6 ms measured).  Their compute floor rides at full
+            # occupancy; the HBM term carries their real cost.
+            occ = min(1.0, cout / LANES) if fg == 1 else 1.0
+            out.append(("conv", flops, occ,
                         f"{kh}x{kw} Cin={cin} Cout={cout}"
                         + (f" g={fg}" if fg > 1 else "")))
         elif eqn.primitive.name in ("dot_general",):
