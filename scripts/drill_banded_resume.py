@@ -158,23 +158,39 @@ def main() -> int:
     spool_b = os.path.join(args.workdir, "spoolB.jsonl")
 
     def spool_lines():
+        # Clamp PER FILE: an empty/just-created spool file must contribute
+        # 0, not -1 (the -1 is its gridSig header) — otherwise it cancels
+        # a real completed tile from another rank's file.
         total = 0
         for f in os.listdir(args.workdir):
             if f.startswith("spoolB"):
                 with open(os.path.join(args.workdir, f)) as fh:
-                    total += sum(1 for line in fh if line.strip()) - 1
-        return max(0, total)
+                    n = sum(1 for line in fh if line.strip())
+                total += max(0, n - 1)
+        return total
 
     samples = []  # (t, done)
     t_b0 = time.perf_counter()
-    while pb.poll() is None:
+    # Bound the poll by wall clock (3x run A) so a hung run B fails the
+    # drill instead of polling forever — the exact failure mode the
+    # faulthandler hook was added to debug.
+    while pb.poll() is None and time.perf_counter() - t_b0 < 3 * wall_a:
         time.sleep(2.0)
         done_now = spool_lines()
         samples.append((time.perf_counter() - t_b0, done_now))
         if done_now >= 0.5 * n_total:
             break
-    pb.send_signal(signal.SIGKILL)
-    pb.communicate()
+    self_exited = pb.poll() is not None
+    if not self_exited:
+        pb.send_signal(signal.SIGKILL)
+    out_b = pb.communicate()[0]
+    if self_exited and pb.returncode != 0:
+        # Run B crashed on its own — that is a run failure, not the
+        # intended SIGKILL; dump its log and fail loudly.
+        print(out_b.decode(errors="replace")[-4000:])
+        print("[drill] run B crashed on its own (rc=%d) — NOT the "
+              "intended SIGKILL; drill FAILED" % pb.returncode, flush=True)
+        return 1
     done_before = spool_lines()
     # steady rate from the last half of B's samples (past compile/setup)
     active = [(t, d) for t, d in samples if d > 0]

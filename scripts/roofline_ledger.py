@@ -162,7 +162,7 @@ def main():
                   *stage_floors(lambda t: pp.apply_batch(t)[0], x1)))
     from caesar_yolo_tpu.detect.letterbox import letterbox_batch
     x3 = jnp.zeros((1, S, S, 3), jnp.float32)
-    table.append(("letterbox", None,
+    table.append(("letterbox", deltas.get("letterbox"),
                   *stage_floors(
                       lambda t: letterbox_batch(t, S).astype(jnp.bfloat16),
                       x3)))
