@@ -147,6 +147,7 @@ class SFinderReport:
     n_local_tiles: int = 0  # tiles this process owned (multi-host stripe)
     n_sources: int = 0
     max_inflight_batches: int = 0  # peak read-futures + undrained batches
+    h2d_put_s: float = 0.0  # wall spent blocked on H2D puts (worker sum)
     gather_rounds: int = 0  # chunked-allgather rounds (multi-host runs)
     gather_bytes: int = 0   # this rank's gathered payload size
     phase_times: dict = field(default_factory=dict)
@@ -381,6 +382,11 @@ class SFinder:
         t_stitch = time.time()
         self.sources = stitch_tile_sources(tile_results)
         self.report.phase_times["stitch"] = time.time() - t_stitch
+        # observability: the per-tile result set the stitch consumed
+        # (spool-schema dicts) — lets harnesses seed a resume spool from
+        # a real run's partial state (__graft_entry__ resume leg) and
+        # callers inspect per-tile outcomes without re-parsing outputs
+        self.last_tile_results = tile_results
 
         self.save()
         self.report.runtime_s = time.time() - t0
@@ -705,12 +711,20 @@ class SFinder:
             band_keys = sorted(bands)
 
             def read_band(bk):
+                """Worker-side band read + DEVICE PUT: the next band
+                ships over the link while the current band's batches
+                compute (H2D double-buffering on the banded path)."""
                 res = read_fits_crop(cfg.image_path, self.xmin,
                                      self.xmax + 1, bk[0], bk[1],
                                      strip_deg_axis=True)
                 if res is None or np.asarray(res[0]).ndim != 2:
                     return None
-                return np.asarray(res[0], np.float32)
+                band_np = np.asarray(res[0], np.float32)
+                t_put = time.time()
+                band_dev = engine.put_mosaic(band_np)
+                put_s = time.time() - t_put
+                return (band_np if cfg.save_tile_img else None,
+                        band_dev, put_s)
 
             with ThreadPoolExecutor(max_workers=2) as bpool:
                 futs: deque = deque()
@@ -729,9 +743,9 @@ class SFinder:
                 pending = deque()
                 while futs:
                     bk, fut = futs.popleft()
-                    band_np = fut.result()
+                    staged = fut.result()
                     submit_band()
-                    if band_np is None:
+                    if staged is None:
                         # re-queue this row's tiles on the host path
                         for shp, ts in bands[bk].items():
                             groups.setdefault(shp, []).extend(ts)
@@ -739,14 +753,15 @@ class SFinder:
                             "Band read failed at rows [%d,%d); falling "
                             "back to windowed reads for its tiles", *bk)
                         continue
-                    band_dev = engine.put_mosaic(band_np)
+                    band_np, band_dev, put_s = staged
+                    self.report.h2d_put_s += put_s
                     for (h, w), ts in bands[bk].items():
                         for i in range(0, len(ts), batch):
                             tb = ts[i:i + batch]
                             origins = np.zeros((batch, 2), np.int32)
                             for k, t in enumerate(tb):
                                 origins[k] = (0, t.xmin - self.xmin)
-                            if cfg.save_tile_img:
+                            if cfg.save_tile_img and band_np is not None:
                                 for t in tb:
                                     arrs_by_tid[t.tid] = band_np[
                                         :, t.xmin - self.xmin:
@@ -772,6 +787,29 @@ class SFinder:
                 batches = [group[i:i + batch]
                            for i in range(0, len(group), batch)]
                 from collections import deque
+
+                def read_and_stage(tile_batch, h=h, w=w):
+                    """Worker-side read + batch assembly + DEVICE PUT:
+                    the H2D put of batch N+1 runs in a feeding thread,
+                    overlapping the device computing batch N and the
+                    main thread's drain — double-buffered puts, the
+                    mirror of the D2H prefetch_to_host work."""
+                    datas = read_batch(tile_batch)
+                    ok_idx = [i for i, d in enumerate(datas)
+                              if d is not None]
+                    # staged in the engine's relay dtype: with
+                    # relay_dtype=bfloat16 the host->device transfer
+                    # ships half the bytes (cast happens on assignment)
+                    arr = np.zeros((batch, h, w, 1),
+                                   engine.relay_np_dtype)
+                    for k, i in enumerate(ok_idx):
+                        arr[k] = datas[i]
+                    t_put = time.time()
+                    dev = engine.put_tiles(arr)
+                    put_s = time.time() - t_put
+                    keep = datas if cfg.save_tile_img else None
+                    return ok_idx, keep, dev, put_s
+
                 futures: deque = deque()
                 next_batch = 0
 
@@ -780,7 +818,8 @@ class SFinder:
                     if next_batch < len(batches):
                         futures.append(
                             (batches[next_batch],
-                             pool.submit(read_batch, batches[next_batch])))
+                             pool.submit(read_and_stage,
+                                         batches[next_batch])))
                         next_batch += 1
 
                 submit_read()
@@ -788,27 +827,21 @@ class SFinder:
                 pending = deque()  # (batch_tiles, device outputs)
                 while futures:
                     tile_batch, fut = futures.popleft()
-                    datas = fut.result()
+                    ok_idx, datas, dev, put_s = fut.result()
                     submit_read()
-                    ok_idx = [i for i, d in enumerate(datas)
-                              if d is not None]
-                    for i, d in enumerate(datas):
-                        if d is None:
+                    self.report.h2d_put_s += put_s
+                    ok_set = set(ok_idx)
+                    for i, t in enumerate(tile_batch):
+                        if i not in ok_set:
                             self.report.tile_errors.append(
-                                (tile_batch[i].tid, "read failed"))
+                                (t.tid, "read failed"))
                             logger.error("Failed to read tile %d, skipping",
-                                         tile_batch[i].tid)
-                    # staged in the engine's relay dtype: with
-                    # relay_dtype=bfloat16 the host->device transfer
-                    # ships half the bytes (cast happens on assignment)
-                    arr = np.zeros((batch, h, w, 1), engine.relay_np_dtype)
-                    for k, i in enumerate(ok_idx):
-                        arr[k] = datas[i]
-                    if cfg.save_tile_img:
-                        for k, i in enumerate(ok_idx):
+                                         t.tid)
+                    if cfg.save_tile_img and datas is not None:
+                        for i in ok_idx:
                             arrs_by_tid[tile_batch[i].tid] = \
                                 datas[i][:, :, 0]
-                    outs = engine.process_async(arr)
+                    outs = engine.process_async(dev)
                     prefetch_to_host(outs)
                     pending.append(
                         ([tile_batch[i] for i in ok_idx], outs))
