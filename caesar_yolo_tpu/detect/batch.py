@@ -48,13 +48,36 @@ class BatchedDetector:
         n_dev = int(np.prod(mesh.devices.shape)) if mesh else 1
         self.batch_size = pad_to_multiple(max(batch_size, n_dev), n_dev)
         self.pre_nms = pre_nms
+        self.h2d_put_s = 0.0  # wall blocked on H2D puts (attribution)
 
     def detect_many(self, items, load_fn, *, read_workers: int = 8):
+        import time as _time
         from collections import deque
         results: dict = {}
         with ThreadPoolExecutor(max_workers=read_workers) as pool:
             buckets: dict[tuple, list] = {}  # shape -> [(key, img)]
+            staged: deque = deque()          # [(keys, put future)]
             pending: list = []               # [(keys, device outputs)]
+
+            def timed_put(arr):
+                t0 = _time.time()
+                dev = self.engine.put_tiles(arr)
+                return dev, _time.time() - t0
+
+            def launch(item):
+                """Dispatch compute on an already-staged device batch."""
+                keys, put_fut = item
+                dev, put_s = put_fut.result()
+                self.h2d_put_s += put_s
+                from caesar_yolo_tpu.parallel.engine import \
+                    prefetch_to_host
+                outs = self.engine.process_async(dev)
+                prefetch_to_host(outs)  # overlap D2H with next compute
+                pending.append((keys, outs))
+                # drain one behind dispatch: bounds device-result memory
+                # while still overlapping host load with device compute
+                if len(pending) > 1:
+                    self._drain(pending.pop(0), results)
 
             def dispatch(pairs, shape):
                 h, w, c = shape
@@ -64,15 +87,14 @@ class BatchedDetector:
                                self.engine.relay_np_dtype)
                 for i, (_, img) in enumerate(pairs):
                     arr[i] = img
-                from caesar_yolo_tpu.parallel.engine import \
-                    prefetch_to_host
-                outs = self.engine.process_async(arr)
-                prefetch_to_host(outs)  # overlap D2H with next compute
-                pending.append(([k for k, _ in pairs], outs))
-                # drain one behind dispatch: bounds device-result memory
-                # while still overlapping host load with device compute
-                if len(pending) > 1:
-                    self._drain(pending.pop(0), results)
+                # double-buffered H2D: the put of THIS batch runs in a
+                # worker thread while the previously staged batch's
+                # compute dispatches — the put overlaps both the running
+                # device program and the main thread's drain work
+                staged.append(([k for k, _ in pairs],
+                               pool.submit(timed_put, arr)))
+                if len(staged) > 1:
+                    launch(staged.popleft())
 
             # bounded read-ahead window: loads overlap device compute
             # without ever holding more than ~2 batches of images
@@ -114,6 +136,8 @@ class BatchedDetector:
                     dispatch(buckets.pop(big), big)
             for shape, pairs in buckets.items():
                 dispatch(pairs, shape)
+            while staged:
+                launch(staged.popleft())
             for p in pending:
                 self._drain(p, results)
         return results

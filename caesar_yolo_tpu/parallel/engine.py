@@ -168,9 +168,22 @@ class TileEngine:
                            out_shardings=(bsh, bsh, bsh, bsh, bsh, bsh))
         return jax.jit(step)
 
+    def put_tiles(self, tiles: np.ndarray):
+        """Stage a host tile batch on device (H2D put, batch-sharded
+        over the mesh).  Feeding threads call this so the put of batch
+        N+1 overlaps the device computing batch N AND the main thread's
+        drain work — the H2D mirror of prefetch_to_host (the D2H side);
+        see sfinder.py's streaming/banded loops."""
+        if tiles.dtype != self.relay_np_dtype:
+            tiles = tiles.astype(self.relay_np_dtype)
+        if self.mesh is not None:
+            return jax.device_put(tiles, batch_sharding(self.mesh))
+        return jax.device_put(tiles)
+
     def process_async(self, tiles):
         """Dispatch without blocking; returns device arrays (lets the host
-        read the next tile batch while this one computes)."""
+        read the next tile batch while this one computes).  Accepts a
+        host array or an already-staged device array (put_tiles)."""
         if (isinstance(tiles, np.ndarray)
                 and tiles.dtype != self.relay_np_dtype):
             tiles = tiles.astype(self.relay_np_dtype)
