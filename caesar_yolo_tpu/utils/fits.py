@@ -109,6 +109,23 @@ def _parse_card_value(raw: str):
         return raw
 
 
+def _trim_comment(body: str) -> str:
+    """Cut an inline comment (a '/' outside any quoted string)."""
+    in_str = False
+    j = 0
+    while j < len(body):
+        c = body[j]
+        if c == "'":
+            if in_str and j + 1 < len(body) and body[j + 1] == "'":
+                j += 2
+                continue
+            in_str = not in_str
+        elif c == "/" and not in_str:
+            return body[:j]
+        j += 1
+    return body
+
+
 def parse_header(block_iter) -> tuple[FitsHeader, int]:
     """Parse header cards from an iterator of 2880-byte blocks.
 
@@ -117,6 +134,7 @@ def parse_header(block_iter) -> tuple[FitsHeader, int]:
     header = FitsHeader()
     nblocks = 0
     done = False
+    last_key = None  # for OGIP CONTINUE long-string concatenation
     for block in block_iter:
         nblocks += 1
         for i in range(0, FITS_BLOCK, 80):
@@ -125,6 +143,15 @@ def parse_header(block_iter) -> tuple[FitsHeader, int]:
             if key == "END":
                 done = True
                 break
+            if key == "CONTINUE":
+                # OGIP 1.0 long-string convention: a string value ending
+                # in '&' continues on CONTINUE cards ("CONTINUE  'more'")
+                prev = header.get(last_key) if last_key else None
+                if isinstance(prev, str) and prev.endswith("&"):
+                    cont = _parse_card_value(_trim_comment(card[8:]))
+                    if isinstance(cont, str):
+                        header[last_key] = prev[:-1] + cont
+                continue
             if key in ("COMMENT", "HISTORY", ""):
                 text = card[8:].strip()
                 if key == "COMMENT":
@@ -134,23 +161,8 @@ def parse_header(block_iter) -> tuple[FitsHeader, int]:
                 continue
             if card[8:10] != "= ":
                 continue  # commentary-style card without value indicator
-            body = card[10:]
-            # Trim inline comment (a '/' outside any quoted string)
-            in_str = False
-            cut = len(body)
-            j = 0
-            while j < len(body):
-                c = body[j]
-                if c == "'":
-                    if in_str and j + 1 < len(body) and body[j + 1] == "'":
-                        j += 2
-                        continue
-                    in_str = not in_str
-                elif c == "/" and not in_str:
-                    cut = j
-                    break
-                j += 1
-            header[key] = _parse_card_value(body[:cut])
+            header[key] = _parse_card_value(_trim_comment(card[10:]))
+            last_key = key
         if done:
             break
     if not done:
@@ -218,9 +230,23 @@ def _axis_info(header: FitsHeader):
 def _apply_scaling(data: np.ndarray, header: FitsHeader) -> np.ndarray:
     bscale = float(header.get("BSCALE", 1.0))
     bzero = float(header.get("BZERO", 0.0))
+    # BLANK marks undefined pixels in INTEGER data (FITS 4.0 §5.3); they
+    # must become NaN BEFORE scaling (callers then apply the NaN->0
+    # convention), not leak through as huge scaled values.  The compare
+    # runs on the raw integers — after the float cast a 64-bit BLANK
+    # could alias a real value.
+    blank = header.get("BLANK")
+    blank_mask = None
+    if blank is not None and np.issubdtype(data.dtype, np.integer):
+        try:
+            blank_mask = data == int(blank)
+        except (TypeError, ValueError):
+            blank_mask = None  # malformed BLANK card: ignore, don't crash
     data = data.astype(np.float32 if data.dtype.itemsize <= 4 else np.float64)
     if bscale != 1.0 or bzero != 0.0:
         data = data * bscale + bzero
+    if blank_mask is not None:
+        data[blank_mask] = np.nan
     return data
 
 
@@ -255,7 +281,13 @@ def read_fits(filename: str, strip_deg_axis: bool = False):
             filename, nchan)
         return None
 
-    out = _apply_scaling(out, header)
+    try:
+        out = _apply_scaling(out, header)
+    except Exception as e:
+        # malformed BSCALE/BZERO (fuzz corpus): silently defaulting the
+        # scale would return wrongly-scaled pixels — fail cleanly instead
+        logger.error("Invalid BSCALE/BZERO in %s (err=%s)", filename, e)
+        return None
     out[~np.isfinite(out)] = 0
 
     if strip_deg_axis:
@@ -335,7 +367,11 @@ def read_fits_crop(filename: str, ixmin: int, ixmax: int, iymin: int,
             iymin, iymax, ixmin, ixmax, filename, str(e))
         return None
 
-    data = _apply_scaling(data, header)
+    try:
+        data = _apply_scaling(data, header)
+    except Exception as e:
+        logger.error("Invalid BSCALE/BZERO in %s (err=%s)", filename, e)
+        return None
     data[~np.isfinite(data)] = 0
 
     if strip_deg_axis:

@@ -40,6 +40,8 @@ struct FitsInfo {
   long nx = 0, ny = 0;
   int naxis = 0;
   double bscale = 1.0, bzero = 0.0;
+  bool has_blank = false;   // BLANK: undefined-pixel sentinel (int data)
+  double blank = 0.0;
   bool degenerate_hi_axes = true;  // NAXIS3/4 == 1 when naxis == 4
 };
 
@@ -85,6 +87,10 @@ bool parse_header(int fd, FitsInfo* info, std::string* err) {
       else if (std::strcmp(key, "NAXIS4") == 0) naxis_n[3] = (long)d;
       else if (std::strcmp(key, "BSCALE") == 0) info->bscale = d;
       else if (std::strcmp(key, "BZERO") == 0) info->bzero = d;
+      else if (std::strcmp(key, "BLANK") == 0) {
+        info->has_blank = true;
+        info->blank = d;
+      }
     }
     offset += kBlock;
   }
@@ -109,7 +115,8 @@ inline uint64_t bswap64(uint64_t v) { return __builtin_bswap64(v); }
 
 // Decode one row of `w` big-endian values into float32 with scaling.
 void decode_row(const uint8_t* src, float* dst, long w, int bitpix,
-                double bscale, double bzero) {
+                double bscale, double bzero, bool has_blank,
+                double blank) {
   const bool scaled = (bscale != 1.0) || (bzero != 0.0);
   switch (bitpix) {
     case 8:
@@ -156,6 +163,14 @@ void decode_row(const uint8_t* src, float* dst, long w, int bitpix,
       }
       break;
   }
+  // BLANK pixels (undefined, INTEGER data only; FITS 4.0 §5.3) become
+  // NaN BEFORE scaling, then fall to 0 with every other non-finite —
+  // the numpy reader's exact semantics (utils/fits.py _apply_scaling)
+  if (has_blank && bitpix > 0) {
+    const float bf = (float)blank;
+    for (long i = 0; i < w; ++i)
+      if (dst[i] == bf) dst[i] = NAN;
+  }
   if (scaled) {
     for (long i = 0; i < w; ++i)
       dst[i] = (float)(dst[i] * bscale + bzero);
@@ -186,7 +201,7 @@ bool read_window(int fd, const FitsInfo& fi, long x0, long x1, long y0,
       return false;
     }
     decode_row(buf.data(), out + (size_t)j * w, w, fi.bitpix, fi.bscale,
-               fi.bzero);
+               fi.bzero, fi.has_blank, fi.blank);
   }
   return true;
 }
