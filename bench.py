@@ -35,6 +35,107 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def _params_m(params):
+    """Parameter count in millions — provenance: 'the wrong model ran'
+    and 'the model got faster' must be distinguishable in a suite entry
+    (VERDICT r4 weak #1)."""
+    import jax
+    return round(sum(int(np.prod(x.shape))
+                     for x in jax.tree_util.tree_leaves(params)) / 1e6, 4)
+
+
+def _program_provenance(jitted, *args, imgs_per_call=None):
+    """HLO fingerprint (+ best-effort XLA FLOP count) of a jitted
+    program at the bench shapes.  The fingerprint is a hash of the
+    LOWERED (pre-optimization) module text, so it changes iff the traced
+    program changes — a relay swing or backend jitter cannot move it."""
+    import hashlib
+    out = {}
+    try:
+        lowered = jitted.lower(*args)
+    except Exception:
+        return out
+    try:
+        out["hlo_sha"] = hashlib.sha256(
+            lowered.as_text().encode()).hexdigest()[:16]
+    except Exception:
+        pass
+    if imgs_per_call:
+        try:
+            ca = lowered.compile().cost_analysis()
+            ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+            fl = float(ca.get("flops", 0.0)) if ca else 0.0
+            if fl > 0:
+                out["gflops_per_img"] = round(fl / imgs_per_call / 1e9, 2)
+        except Exception:
+            pass
+    return out
+
+
+def link_probe(mb: int = 64):
+    """Measured host<->device link speed: ship a fixed 64 MB buffer each
+    way and record MB/s.  Recorded per suite run so a 2x relay swing
+    between sessions is ATTRIBUTED instead of polluting e2e numbers
+    (VERDICT r4 weak #2)."""
+    import jax
+    n = mb * 1024 * 1024 // 4
+    arr = np.random.default_rng(0).random((n,), dtype=np.float32)
+    # warm the dispatch path with a small buffer first
+    w = jax.device_put(arr[:1024])
+    _ = np.asarray(w)
+    t0 = time.perf_counter()
+    dev = jax.device_put(arr)
+    _ = np.asarray(dev[:1])  # force transfer completion
+    h2d = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    back = np.asarray(dev)
+    d2h = time.perf_counter() - t0
+    assert back.shape == arr.shape
+    return {"mb": mb, "h2d_MBps": round(mb / h2d, 1),
+            "d2h_MBps": round(mb / d2h, 1)}
+
+
+def _device_tile_rate(model, params, preproc, img_size, batch=16,
+                      iters=10, conf_thr=0.7):
+    """Device-compute-only tile rate: the bench_tiles program (preproc +
+    letterbox + forward + decode + NMS) chained in ONE compiled loop on
+    device-resident tiles — the gateable compute number for system
+    modes whose e2e is relay-bound in this environment."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+    from caesar_yolo_tpu.detect.letterbox import letterbox_batch, \
+        unletterbox_boxes
+    from caesar_yolo_tpu.detect.nms import nms_batch
+    from caesar_yolo_tpu.models.yolo import decode_dfl
+
+    @jax.jit
+    def loop(params, tiles):
+        def body(_, x):
+            imgs, ok = preproc.apply_batch(x)
+            imgs = jnp.repeat(imgs, 3, axis=-1)
+            xx = letterbox_batch(imgs, img_size).astype(jnp.bfloat16)
+            raw = model(params, xx)
+            boxes, scores = decode_dfl(raw, img_size)
+            b, s, c, v, _ = nms_batch(boxes, scores, conf_thr=conf_thr,
+                                      iou_thr=0.5)
+            b = unletterbox_boxes(b, img_size, img_size, img_size)
+            dep = (jnp.sum(b) + jnp.sum(s)) * 0.0
+            return x + dep.astype(x.dtype)
+        return lax.fori_loop(0, iters, body, tiles)
+
+    rng = np.random.default_rng(0)
+    tiles = jax.device_put(jnp.asarray(
+        rng.random((batch, img_size, img_size, 1), dtype=np.float32)))
+    out = loop(params, tiles)
+    _ = np.asarray(out[0, 0, 0, 0])
+    t0 = time.perf_counter()
+    out = loop(params, tiles)
+    _ = np.asarray(out[0, 0, 0, 0])
+    dt = time.perf_counter() - t0
+    return batch * iters / dt
+
+
 def bench_mosaic():
     """System-level mode (BENCH_MODE=mosaic): tiled SFinder on a synthetic
     mosaic — windowed native reads, batched sharded inference, edge
@@ -97,6 +198,15 @@ def bench_mosaic():
         mb = sf.report.n_tiles * tile * tile * 4 / 1e6
     else:
         mb = size * size * 4 / 1e6
+    # device-compute-only attribution (the gateable number: mosaic e2e
+    # swung 3.9x between rounds on pure relay weather, VERDICT r4 weak
+    # #2) — the same per-tile program chained on device-resident tiles,
+    # scaled to this grid's tile count
+    from caesar_yolo_tpu.parallel.engine import fuse_model_params
+    fused = fuse_model_params(model, params)
+    dev_tiles_s = _device_tile_rate(model, fused, preproc, tile,
+                                    batch=16, iters=10)
+    dev_mpix_s = size * size / 1e6 / (sf.report.n_tiles / dev_tiles_s)
     return {
         "metric": (f"{model_name} tiled mosaic"
                    + (f" step={step}" if step != 1.0 else "")
@@ -107,6 +217,10 @@ def bench_mosaic():
         "vs_baseline": round(tiles_s / 500.0, 3),
         "tiles_per_s": round(tiles_s, 2),
         "mb_shipped": round(mb, 1),
+        "device_only_tiles_per_s": round(dev_tiles_s, 2),
+        "device_only_Mpix_per_s": round(dev_mpix_s, 2),
+        "h2d_put_s": round(sf.report.h2d_put_s, 3),
+        "params_m": _params_m(params),
         "phase_times_s": {k: round(v, 3)
                           for k, v in sf.report.phase_times.items()},
     }
@@ -149,6 +263,7 @@ def bench_eval():
                      else "float32"))
     det.detect_many(list(range(min(batch, n_imgs))),
                     lambda k: imgs[k])  # compile
+    det.h2d_put_s = 0.0  # attribute the timed run only
     t0 = time.perf_counter()
     out = det.detect_many(list(imgs), lambda k: imgs[k])
     dt = time.perf_counter() - t0
@@ -192,6 +307,12 @@ def bench_eval():
         "device_ms_per_img": round(device_ms_per_img, 4),
         "device_only_imgs_per_s": round(1e3 / device_ms_per_img, 2),
         "mb_shipped": round(n_imgs * size * size * bytes_per_px / 1e6, 1),
+        # host-side H2D bubble: wall spent blocked on device puts inside
+        # the feeding threads (VERDICT r4 weak #6 attribution)
+        "h2d_put_s": round(det.h2d_put_s, 3),
+        "e2e_wall_s": round(dt, 3),
+        "params_m": _params_m(params),
+        **_program_provenance(step, det.engine.params, tiles),
     }
 
 
@@ -260,6 +381,10 @@ def bench_train():
         _ = float(np.asarray(loss))                        # sync the chain
         dt = time.perf_counter() - t0
     rate = batch * iters / dt
+    # provenance: fingerprint the jitted optimizer step at these shapes
+    # (FLOPs from the persistent-cache-warm compile; fwd+bwd+update)
+    prov = _program_provenance(trainer._step_fn, trainer.state, imgs,
+                               labels, gt, mask, imgs_per_call=batch)
     return {
         "metric": (f"{model_name}@{img_size} train"
                    + ("+augment" if augment else "")
@@ -268,6 +393,8 @@ def bench_train():
         "value": round(rate, 2),
         "unit": "imgs/s",
         "vs_baseline": round(rate / 500.0, 3),
+        "params_m": _params_m(params),
+        **prov,
     }
 
 
@@ -330,6 +457,7 @@ def bench_preproc():
         "value": round(rate, 2),
         "unit": "imgs/s",
         "vs_baseline": round(rate / 500.0, 3),
+        **_program_provenance(loop, tiles),
     }
 
 
@@ -406,6 +534,9 @@ def bench_tiles():
         "unit": "tiles/s",
         "vs_baseline": round(tiles_per_sec / target, 3),
         "device_ms_per_tile": round(dt / (batch * iters) * 1e3, 4),
+        "params_m": _params_m(params),
+        **_program_provenance(loop, params, tiles,
+                              imgs_per_call=batch * iters),
     }
 
 
@@ -461,6 +592,11 @@ def run_suite(only=None, out_path=None):
 
     import jax
     results = {}
+    # measured link speed brackets the run: relay weather is recorded,
+    # not inferred (eval/mosaic e2e vs device-only gaps normalize by it)
+    probe_start = link_probe()
+    print(f"[suite] link probe: h2d {probe_start['h2d_MBps']} MB/s, "
+          f"d2h {probe_start['d2h_MBps']} MB/s", file=sys.stderr)
     for name, env in SUITE:
         if only and not any(s in name for s in only):
             continue
@@ -481,6 +617,8 @@ def run_suite(only=None, out_path=None):
         os.environ.pop(k, None)
     doc = {
         "suite": results,
+        "link_probe_start": probe_start,
+        "link_probe_end": link_probe(),
         "device": str(jax.devices()[0]),
         "jax": jax.__version__,
         "host": platform.node(),

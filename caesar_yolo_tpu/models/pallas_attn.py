@@ -44,8 +44,12 @@ def supported(n: int) -> bool:
     kernel (interpret mode is for parity tests, not the CPU hot path —
     models on CPU use the einsum path)."""
     from caesar_yolo_tpu.utils import portable
+    import os as _os
     return (n % 8 == 0 and 8 <= n <= MAX_N
             and not portable.FORCE  # export tracing: einsum lowers anywhere
+            # CY_ATTN=einsum: bench bisect hook (attribute rate deltas
+            # to the fused C2PSA kernel vs the XLA einsum formulation)
+            and _os.environ.get("CY_ATTN", "") != "einsum"
             and (jax.default_backend() in ("tpu", "axon") or INTERPRET))
 
 
