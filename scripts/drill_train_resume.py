@@ -63,7 +63,8 @@ def make_dataset(root: str, n: int = 512, size: int = 96,
     return yml
 
 
-def launch(yml, ckdir, epochs, resume=None, log_path=None, cpu=False):
+def launch(yml, ckdir, epochs, resume=None, log_path=None, cpu=False,
+           imgsz=96):
     if cpu:  # smoke-test backend (sitecustomize overrides JAX_PLATFORMS)
         head = [sys.executable, "-c",
                 "import jax, sys; "
@@ -74,7 +75,7 @@ def launch(yml, ckdir, epochs, resume=None, log_path=None, cpu=False):
         head = [sys.executable, "-m", "caesar_yolo_tpu.cli.train"]
     cmd = head + [
         f"--data={yml}", "--model=yolov8n", "--num_classes=5",
-        f"--epochs={epochs}", "--batch=16", "--imgsz=96",
+        f"--epochs={epochs}", "--batch=16", f"--imgsz={imgsz}",
         "--max_gt=8", f"--checkpoint_dir={ckdir}",
         "--checkpoint_every=1", "--val_every=0", "--seed=0"]
     if resume:
@@ -113,18 +114,25 @@ def main() -> int:
     p.add_argument("--cpu", action="store_true",
                    help="smoke-test on the CPU backend")
     p.add_argument("--images", type=int, default=512)
+    p.add_argument("--imgsz", type=int, default=96,
+                   help="train input size (the realistic config is 640: "
+                        "132px cutouts letterboxed up, the reference "
+                        "recipe)")
+    p.add_argument("--native_size", type=int, default=96,
+                   help="on-disk cutout size (132 = reference native)")
     args = p.parse_args()
     os.makedirs(args.workdir, exist_ok=True)
     yml = os.path.join(args.workdir, "data", "ds.yaml")
     if not os.path.exists(yml):
         yml = make_dataset(os.path.join(args.workdir, "data"),
-                           n=args.images)
+                           n=args.images, size=args.native_size)
         print("[drill] dataset ready", flush=True)
 
     # --- run A: uninterrupted -------------------------------------------
     ck_a = os.path.join(args.workdir, "runsA")
     t0 = time.perf_counter()
     pa, fa = launch(yml, ck_a, args.epochs, cpu=args.cpu,
+                    imgsz=args.imgsz,
                     log_path=os.path.join(args.workdir, "A.log"))
     pa.wait()
     fa.close()
@@ -140,6 +148,7 @@ def main() -> int:
     # --- run B: SIGKILL around the midpoint ------------------------------
     ck_b = os.path.join(args.workdir, "runsB")
     pb, fb = launch(yml, ck_b, args.epochs, cpu=args.cpu,
+                    imgsz=args.imgsz,
                     log_path=os.path.join(args.workdir, "B.log"))
     time.sleep(max(20.0, args.kill_frac * wall_a))
     pb.send_signal(signal.SIGKILL)
@@ -153,6 +162,7 @@ def main() -> int:
 
     # --- run C: resume ----------------------------------------------------
     pc, fc = launch(yml, ck_b, args.epochs, resume=ck_b, cpu=args.cpu,
+                    imgsz=args.imgsz,
                     log_path=os.path.join(args.workdir, "C.log"))
     pc.wait()
     fc.close()
@@ -175,6 +185,9 @@ def main() -> int:
     ok = max_rel < 0.02 and dg_rel < 0.01
     print("[drill] " + json.dumps({
         "epochs_total": args.epochs,
+        "imgsz": args.imgsz,
+        "native_size": args.native_size,
+        "images": args.images,
         "killed_after_epochs": n_b,
         "resumed_at_epoch": resume_at,
         "trajectory_max_rel_diff": round(max_rel, 6),
