@@ -169,9 +169,14 @@ def main(argv=None) -> int:
     n_dev = len(jax.devices())
     batch = max(args.batch, n_dev)
     batch = ((batch + n_dev - 1) // n_dev) * n_dev
+    # single-process: ship NATIVE-resolution batches and letterbox on
+    # device (23-70x fewer H2D bytes for small cutouts at imgsz=640);
+    # multi-host keeps host letterboxing — the global batch assembles
+    # from fixed-shape HOST shards in train_step
+    device_lb = jax.process_count() == 1
     dataset = DetectionDataset(args.data, img_size=args.imgsz,
                                batch_size=batch, max_gt=args.max_gt,
-                               seed=args.seed)
+                               seed=args.seed, device_letterbox=device_lb)
     cfg = TrainConfig(epochs=args.epochs, batch_size=batch,
                       img_size=args.imgsz, lr0=args.lr0, lrf=args.lrf,
                       max_gt=args.max_gt, remat=args.remat,
@@ -190,6 +195,20 @@ def main(argv=None) -> int:
         logger.info("Resuming at epoch %d/%d (step %d)",
                     start_epoch, args.epochs, step)
 
+    import jax.numpy as jnp
+    from caesar_yolo_tpu.detect.letterbox import letterbox_batch
+
+    @jax.jit
+    def prep_pixels(imgs):
+        """Device-side 1->3 channel repeat + letterbox to imgsz (same
+        geometry the loader's box math used)."""
+        t = jnp.asarray(imgs, jnp.float32)
+        if t.shape[-1] == 1:
+            t = jnp.repeat(t, 3, axis=-1)
+        if t.shape[1] != args.imgsz or t.shape[2] != args.imgsz:
+            t = letterbox_batch(t, args.imgsz)
+        return t
+
     def augmented(epoch):
         # Key the sample order AND the augmentation stream off
         # (seed, epoch) — not a running key from PRNGKey(seed) — so a
@@ -198,6 +217,8 @@ def main(argv=None) -> int:
         dataset.set_epoch(epoch)
         key = jax.random.fold_in(jax.random.PRNGKey(args.seed), epoch)
         for imgs, labels, boxes, masks in dataset:
+            if device_lb:
+                imgs = prep_pixels(imgs)
             if args.no_augment:
                 yield imgs, labels, boxes, masks
                 continue
@@ -205,8 +226,20 @@ def main(argv=None) -> int:
             aimgs, aboxes, amasks = augment_batch(
                 sub, imgs, boxes, masks, degrees=args.degrees,
                 scale=args.scale, flipud=args.flipud, fliplr=args.fliplr)
-            yield (np.asarray(aimgs), labels, np.asarray(aboxes),
-                   np.asarray(amasks))
+            if jax.process_count() > 1:
+                # multi-host: train_step assembles global arrays from
+                # HOST shards (make_array_from_process_local_data), so
+                # materialize the augmented shard on host here
+                yield (np.asarray(aimgs), labels, np.asarray(aboxes),
+                       np.asarray(amasks))
+            else:
+                # single-process: keep the augmented batch ON DEVICE —
+                # np.asarray here round-tripped ~157 MB/step (78 MB
+                # augmented images D2H + the same back H2D inside
+                # train_step) through the host for nothing; on the
+                # tunneled relay that was a >10x training slowdown
+                # (found by scripts/drill_train_resume.py at 640px)
+                yield aimgs, labels, aboxes, amasks
 
     # training-time validation: C/R/F1 on the val split with EMA params
     # after precise-BN calibration; the best-F1 epoch is checkpointed as
@@ -232,7 +265,8 @@ def main(argv=None) -> int:
         from caesar_yolo_tpu.evaluation import evaluate_dataset
         if calibrate:
             trainer.calibrate_bn(
-                imgs for imgs, *_ in itertools.islice(iter(dataset), 8))
+                (prep_pixels(imgs) if device_lb else imgs)
+                for imgs, *_ in itertools.islice(iter(dataset), 8))
         val_detector.engine.update_params(
             jax.device_get(trainer.state.ema_params))
         report = evaluate_dataset(
@@ -261,7 +295,8 @@ def main(argv=None) -> int:
     for epoch in range(start_epoch, args.epochs):
         trainer.fit(augmented(epoch), epochs=1,
                     checkpoint_dir=None)
-        if args.checkpoint_dir and (epoch + 1) % args.checkpoint_every == 0:
+        if args.checkpoint_dir and args.checkpoint_every \
+                and (epoch + 1) % args.checkpoint_every == 0:
             trainer.save_checkpoint(args.checkpoint_dir, step=epoch + 1)
         if (val_detector is not None and args.val_every
                 and (epoch + 1) % args.val_every == 0

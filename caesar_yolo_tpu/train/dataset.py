@@ -124,9 +124,50 @@ def list_images(directory: str) -> list[str]:
     return out
 
 
-def load_sample(img_path: str, img_size: int, max_gt: int):
-    """-> (image [S, S, C] f32 in [0,1], labels [M], boxes [M, 4] xyxy px
-    in the letterboxed frame, mask [M]) or None on read failure."""
+def letterbox_pixels(img: np.ndarray, img_size: int) -> np.ndarray:
+    """Host-side letterbox of [H, W, C] f32 -> [S, S, C]: aspect-
+    preserving bilinear resize + centered 114/255 pad (the geometry of
+    detect/letterbox.letterbox_geometry, so boxes computed against it
+    are valid for BOTH the host and device pixel paths)."""
+    h, w = img.shape[:2]
+    r, nh, nw, top, left = letterbox_geometry(h, w, img_size)
+    out = np.full((img_size, img_size, img.shape[-1]), 114 / 255.0,
+                  np.float32)
+    if (nh, nw) != (h, w):
+        yi = (np.arange(nh) + 0.5) / r - 0.5
+        xi = (np.arange(nw) + 0.5) / r - 0.5
+        yi = np.clip(yi, 0, h - 1)
+        xi = np.clip(xi, 0, w - 1)
+        y0 = np.floor(yi).astype(int)
+        x0 = np.floor(xi).astype(int)
+        y1 = np.minimum(y0 + 1, h - 1)
+        x1 = np.minimum(x0 + 1, w - 1)
+        fy = (yi - y0)[:, None, None]
+        fx = (xi - x0)[None, :, None]
+        resized = (img[y0][:, x0] * (1 - fy) * (1 - fx)
+                   + img[y0][:, x1] * (1 - fy) * fx
+                   + img[y1][:, x0] * fy * (1 - fx)
+                   + img[y1][:, x1] * fy * fx)
+    else:
+        resized = img
+    out[top:top + nh, left:left + nw] = resized
+    return out
+
+
+def load_sample(img_path: str, img_size: int, max_gt: int,
+                native: bool = False):
+    """-> (image f32 in [0,1], labels [M], boxes [M, 4] xyxy px in the
+    LETTERBOXED img_size frame, mask [M]) or None on read failure.
+
+    native=False (default): image is letterboxed to [S, S, C] on host.
+    native=True: image stays at NATIVE resolution (and native channel
+    count — no host 1->3 repeat), while boxes are still in the
+    img_size letterbox frame; the consumer letterboxes pixels ON DEVICE
+    (detect/letterbox.letterbox_batch, same geometry).  Shipping native
+    pixels instead of the host-inflated letterboxed batch cuts
+    host->device bytes ~(S/h)^2*C-fold (23-70x for the reference's
+    132px cutouts at S=640) — the training-loader analog of the
+    device-resident mosaic tiling."""
     ext = os.path.splitext(img_path)[1].lower()
     if ext == ".fits":
         res = read_fits(img_path)
@@ -150,31 +191,11 @@ def load_sample(img_path: str, img_size: int, max_gt: int):
             img = img / 255.0
     if img.ndim == 2:
         img = img[:, :, None]
-    if img.shape[-1] == 1:
+    if img.shape[-1] == 1 and not native:
         img = np.repeat(img, 3, axis=-1)
     h, w = img.shape[:2]
-
     r, nh, nw, top, left = letterbox_geometry(h, w, img_size)
-    out = np.full((img_size, img_size, img.shape[-1]), 114 / 255.0,
-                  np.float32)
-    if (nh, nw) != (h, w):
-        yi = (np.arange(nh) + 0.5) / r - 0.5
-        xi = (np.arange(nw) + 0.5) / r - 0.5
-        yi = np.clip(yi, 0, h - 1)
-        xi = np.clip(xi, 0, w - 1)
-        y0 = np.floor(yi).astype(int)
-        x0 = np.floor(xi).astype(int)
-        y1 = np.minimum(y0 + 1, h - 1)
-        x1 = np.minimum(x0 + 1, w - 1)
-        fy = (yi - y0)[:, None, None]
-        fx = (xi - x0)[None, :, None]
-        resized = (img[y0][:, x0] * (1 - fy) * (1 - fx)
-                   + img[y0][:, x1] * (1 - fy) * fx
-                   + img[y1][:, x0] * fy * (1 - fx)
-                   + img[y1][:, x1] * fy * fx)
-    else:
-        resized = img
-    out[top:top + nh, left:left + nw] = resized
+    out = img if native else letterbox_pixels(img, img_size)
 
     labels = np.zeros((max_gt,), np.int32)
     boxes = np.zeros((max_gt, 4), np.float32)
@@ -206,7 +227,8 @@ class DetectionDataset:
 
     def __init__(self, image_dir_or_yaml: str, *, img_size: int = 640,
                  batch_size: int = 16, max_gt: int = 64, split: str = "train",
-                 shuffle: bool = True, seed: int = 0, workers: int = 8):
+                 shuffle: bool = True, seed: int = 0, workers: int = 8,
+                 device_letterbox: bool = False):
         if image_dir_or_yaml.endswith((".yaml", ".yml")):
             spec = parse_dataset_yaml(image_dir_or_yaml)
             root = spec.get("path", os.path.dirname(image_dir_or_yaml))
@@ -226,6 +248,12 @@ class DetectionDataset:
         self.seed = seed
         self.rng = np.random.default_rng(seed)
         self.workers = workers
+        # device_letterbox: yield NATIVE-resolution batches (boxes still
+        # in the img_size letterbox frame) and let the consumer resize
+        # on device — 23-70x fewer host->device bytes for small native
+        # cutouts.  Batches with heterogeneous native shapes fall back
+        # to host letterboxing (fixed-shape batching needs one shape).
+        self.device_letterbox = device_letterbox
 
     def set_epoch(self, epoch: int):
         """Reseed the shuffle rng as a pure function of (seed, epoch) so
@@ -257,7 +285,8 @@ class DetectionDataset:
                 if pos < len(batches):
                     futs.append([
                         pool.submit(load_sample, self.paths[j],
-                                    self.img_size, self.max_gt)
+                                    self.img_size, self.max_gt,
+                                    self.device_letterbox)
                         for j in batches[pos]])
                     pos += 1
 
@@ -271,6 +300,13 @@ class DetectionDataset:
                     continue
                 while len(samples) < self.batch_size:
                     samples.append(samples[0])  # pad short batch
+                if self.device_letterbox and len(
+                        {s[0].shape for s in samples}) > 1:
+                    # mixed native shapes: letterbox on host after all
+                    samples = [(letterbox_pixels(
+                        np.repeat(s[0], 3, -1) if s[0].shape[-1] == 1
+                        else s[0], self.img_size),) + s[1:]
+                        for s in samples]
                 imgs, labels, boxes, masks = (np.stack(x) for x in
                                               zip(*samples))
                 yield imgs, labels, boxes, masks

@@ -270,6 +270,39 @@ def test_train_cli_smoke(tmp_path, monkeypatch):
     assert (tmp_path / "ckpt" / "last").exists()
 
 
+def test_train_cli_augmented_device_batches(tmp_path, monkeypatch):
+    """The AUGMENTED CLI path with --checkpoint_every=0: pins two real
+    bugs the on-chip resume drill found — (a) the augmented batch was
+    round-tripped device->host->device every step (~157 MB/step at
+    640px; single-process runs must feed train_step DEVICE arrays), and
+    (b) --checkpoint_every=0 crashed with ZeroDivisionError at the
+    first epoch boundary."""
+    import jax
+
+    # >= one full batch AFTER the CLI pads batch_size up to the 8-device
+    # test mesh (4 images would yield ZERO batches and a vacuous pass)
+    _make_dataset(tmp_path, n=10, size=48)
+    monkeypatch.chdir(tmp_path)
+    from caesar_yolo_tpu.train import trainer as trainer_mod
+    seen_types = []
+    orig = trainer_mod.Trainer.train_step
+
+    def spy(self, images, *a, **k):
+        seen_types.append(isinstance(images, jax.Array)
+                          and not isinstance(images, np.ndarray))
+        return orig(self, images, *a, **k)
+
+    monkeypatch.setattr(trainer_mod.Trainer, "train_step", spy)
+    from caesar_yolo_tpu.cli.train import main
+    rc = main([f"--data={tmp_path / 'images'}", "--model=yolov8n",
+               "--epochs=1", "--batch=2", "--imgsz=64", "--max_gt=8",
+               "--checkpoint_dir=ckpt2", "--checkpoint_every=0"])
+    assert rc == 0
+    assert (tmp_path / "ckpt2" / "last").exists()
+    assert seen_types and all(seen_types), \
+        "augmented batches must stay on device in single-process runs"
+
+
 def test_sfinder_serial_png(tmp_path, monkeypatch, tiny_model):
     """Serial detection on a PNG input (reference inference.py:511-519)."""
     import matplotlib
