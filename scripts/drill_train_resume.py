@@ -80,7 +80,11 @@ def launch(yml, ckdir, epochs, resume=None, log_path=None, cpu=False,
         "--checkpoint_every=1", "--val_every=0", "--seed=0"]
     if resume:
         cmd.append(f"--resume={resume}")
-    env = dict(os.environ, PYTHONPATH=f"{REPO}:/root/.axon_site")
+    # PYTHONUNBUFFERED: run B dies by SIGKILL, which discards userspace
+    # stdio buffers — block-buffered logging made a half-finished B look
+    # like "0 epochs" and failed the drill's kill-point guard
+    env = dict(os.environ, PYTHONPATH=f"{REPO}:/root/.axon_site",
+               PYTHONUNBUFFERED="1")
     logf = open(log_path, "wb")
     return subprocess.Popen(cmd, env=env, stdout=logf,
                             stderr=subprocess.STDOUT), logf
