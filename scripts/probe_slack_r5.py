@@ -71,18 +71,30 @@ def timed_loop(body, x0, label):
     @jax.jit
     def loop(params, x):
         def it(_, x):
-            dep = scalar(body(params, x)) * 0.0
-            return x + dep.astype(x.dtype)
+            # `* 0.0` here would be algebraically folded to 0 by XLA and
+            # the then-loop-invariant body hoisted out entirely (measured:
+            # the whole probe collapsed to 0.008 ms/iter); a denormal
+            # multiplier keeps the dependence real at negligible value
+            dep = scalar(body(params, x)) * 1e-30
+            return jax.tree_util.tree_map(
+                lambda a: a + dep.astype(a.dtype), x)
         return lax.fori_loop(0, ITERS, it, x)
 
+    def block(out):
+        # force execution by pulling ONE element (device-side index,
+        # then an 8-byte D2H).  np.asarray on the whole leaf would ship
+        # the ~210 MB carry over the relay (measured 380 ms/iter of pure
+        # D2H), and block_until_ready does NOT force execution on this
+        # tunneled backend (measured 0.008 ms/iter for any body).
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        return np.asarray(leaf[(0,) * leaf.ndim])
+
     x0 = jax.device_put(x0)
-    out = loop(params, x0)
-    _ = np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[0]
+    block(loop(params, x0))
     best = np.inf
     for _ in range(REPEATS):
         t0 = time.perf_counter()
-        out = loop(params, x0)
-        _ = np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[0]
+        block(loop(params, x0))
         best = min(best, (time.perf_counter() - t0) / ITERS * 1e3)
     print(f"{label:<44} {best:9.3f} ms/batch", flush=True)
     return best
