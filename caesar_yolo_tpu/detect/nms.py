@@ -54,6 +54,17 @@ MAX_WH = 7680.0  # class offset multiplier (larger than any letterbox size)
 # callers can raise it (--pre_nms) for extreme fields.
 DEFAULT_PRE_NMS = 512
 
+import os as _os
+
+_COMPACT_MODE = _os.environ.get("CY_COMPACT", "scatter4")
+
+
+def set_compact_mode(mode: str) -> None:
+    """scatter4 | scatter1 | argsort — affects subsequent traces."""
+    global _COMPACT_MODE
+    assert mode in ("scatter4", "scatter1", "argsort"), mode
+    _COMPACT_MODE = mode
+
 
 @partial(jax.jit, static_argnames=("conf_thr", "iou_thr", "max_det",
                                    "pre_nms", "class_agnostic"))
@@ -164,10 +175,41 @@ def _suppress_xla(nms_boxes, top_valid, iou_thr):
 
 
 def _compact(top_boxes, top_conf, top_cls, alive, max_det):
-    """Compact kept rows into a fixed [max_det] output (scatter by rank;
-    overflow beyond max_det lands in a discard row)."""
+    """Compact kept rows into a fixed [max_det] output, score order
+    preserved, dead rows zeroed.  Three bit-identical formulations
+    (parity pinned by tests/test_detect.py; A/B via CY_COMPACT env or
+    set_compact_mode — affects subsequent traces, like CY_UPSAMPLE):
+
+      scatter4  four separate .at[dst].set scatters by rank (the
+                original formulation)
+      scatter1  ONE scatter of a packed [K, 8] f32 row (cls < 2^24 so
+                the f32 round-trip is exact)
+      argsort   stable argsort of ~alive + gather of the first max_det
+                rows (kept rows keep their score-descending order)
+
+    probe_compact_r5 measured scatter4 as the most expensive of the
+    three on both CPU and TPU."""
+    if _COMPACT_MODE == "argsort":
+        order = jnp.argsort(~alive, stable=True)[:max_det]
+        n_alive = jnp.sum(alive.astype(jnp.int32))
+        valid = jnp.arange(max_det) < n_alive
+        z = valid.astype(top_boxes.dtype)[:, None]
+        return (top_boxes[order] * z, top_conf[order] * z[:, 0],
+                jnp.where(valid, top_cls[order], 0), valid)
     rank = jnp.cumsum(alive) - 1
     dst = jnp.where(alive & (rank < max_det), rank, max_det)
+    if _COMPACT_MODE == "scatter1":
+        packed = jnp.concatenate([
+            top_boxes.astype(jnp.float32),
+            top_conf[:, None].astype(jnp.float32),
+            top_cls[:, None].astype(jnp.float32),
+            alive[:, None].astype(jnp.float32),
+            jnp.zeros((top_boxes.shape[0], 1), jnp.float32)], axis=1)
+        out = jnp.zeros((max_det + 1, 8), jnp.float32).at[dst].set(
+            packed)[:max_det]
+        return (out[:, :4].astype(top_boxes.dtype),
+                out[:, 4].astype(top_conf.dtype),
+                out[:, 5].astype(jnp.int32), out[:, 6] > 0)
     out_boxes = jnp.zeros((max_det + 1, 4), top_boxes.dtype).at[dst].set(
         top_boxes)[:max_det]
     out_scores = jnp.zeros((max_det + 1,), top_conf.dtype).at[dst].set(

@@ -32,36 +32,28 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from caesar_yolo_tpu.detect.nms import _compact
+from caesar_yolo_tpu.detect import nms as nms_mod
 
 BATCH = int(sys.argv[1]) if len(sys.argv) > 1 else 128
 ITERS = int(sys.argv[2]) if len(sys.argv) > 2 else 50
 K, MAXDET = 512, 300
 
 
-def compact_scatter1(top_boxes, top_conf, top_cls, alive, max_det):
-    rank = jnp.cumsum(alive) - 1
-    dst = jnp.where(alive & (rank < max_det), rank, max_det)
-    packed = jnp.concatenate([
-        top_boxes.astype(jnp.float32),
-        top_conf[:, None].astype(jnp.float32),
-        top_cls[:, None].astype(jnp.float32),
-        alive[:, None].astype(jnp.float32),
-        jnp.zeros((top_boxes.shape[0], 1), jnp.float32)], axis=1)
-    out = jnp.zeros((max_det + 1, 8), jnp.float32).at[dst].set(
-        packed)[:max_det]
-    return (out[:, :4].astype(top_boxes.dtype),
-            out[:, 4].astype(top_conf.dtype),
-            out[:, 5].astype(jnp.int32), out[:, 6] > 0)
+def _mode_fn(mode):
+    def fn(top_boxes, top_conf, top_cls, alive, max_det):
+        prev = nms_mod._COMPACT_MODE
+        nms_mod.set_compact_mode(mode)
+        try:
+            return nms_mod._compact(top_boxes, top_conf, top_cls, alive,
+                                    max_det)
+        finally:
+            nms_mod._COMPACT_MODE = prev
+    return fn
 
 
-def compact_argsort(top_boxes, top_conf, top_cls, alive, max_det):
-    order = jnp.argsort(~alive, stable=True)[:max_det]
-    n_alive = jnp.sum(alive.astype(jnp.int32))
-    valid = jnp.arange(max_det) < n_alive
-    z = valid.astype(top_boxes.dtype)[:, None]
-    return (top_boxes[order] * z, top_conf[order] * z[:, 0],
-            jnp.where(valid, top_cls[order], 0), valid)
+_compact = _mode_fn("scatter4")
+compact_scatter1 = _mode_fn("scatter1")
+compact_argsort = _mode_fn("argsort")
 
 
 def make_inputs(rng):
