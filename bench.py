@@ -535,8 +535,12 @@ def bench_tiles():
         "vs_baseline": round(tiles_per_sec / target, 3),
         "device_ms_per_tile": round(dt / (batch * iters) * 1e3, 4),
         "params_m": _params_m(params),
+        # imgs_per_call=batch, NOT batch*iters: XLA cost_analysis counts
+        # a while/fori body ONCE regardless of trip count (verified:
+        # r5 suite reported 0.4 GFLOP for v8n = 8.0/iters; the body
+        # processes `batch` images)
         **_program_provenance(loop, params, tiles,
-                              imgs_per_call=batch * iters),
+                              imgs_per_call=batch),
     }
 
 
